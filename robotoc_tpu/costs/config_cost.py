@@ -1,0 +1,136 @@
+"""Configuration-space quadratic cost.
+
+Re-expression of the reference's ConfigurationSpaceCost
+(reference: include/robotoc/cost/configuration_space_cost.hpp,
+src/cost/configuration_space_cost.cpp): quadratic penalties on
+(q, v, a, u) with separate stage / terminal / impact weights, dt-scaled at
+stages. Floating-base q-error uses the Lie difference and its tangent
+Jacobian. Evaluation is batched over the horizon axis by construction.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import robot as rm
+
+
+@struct.dataclass
+class ConfigurationSpaceCost:
+    q_ref: jnp.ndarray              # (nq,)
+    v_ref: jnp.ndarray              # (nv,)
+    q_weight: jnp.ndarray           # (nv,)
+    v_weight: jnp.ndarray
+    a_weight: jnp.ndarray
+    u_weight: jnp.ndarray           # (dimu,)
+    q_weight_terminal: jnp.ndarray
+    v_weight_terminal: jnp.ndarray
+    q_weight_impact: jnp.ndarray
+    v_weight_impact: jnp.ndarray
+    dv_weight_impact: jnp.ndarray
+
+
+def make_config_cost(model: rm.RobotModel, q_ref=None, **weights
+                     ) -> ConfigurationSpaceCost:
+    dt = model.dtype
+    nv, dimu = model.nv, model.dimu
+    z = lambda n: jnp.zeros(n, dtype=dt)
+    if q_ref is None:
+        q_ref = rm.neutral(model)
+
+    def w(name, n):
+        val = weights.get(name)
+        if val is None:
+            return z(n)
+        val = jnp.asarray(val, dtype=dt)
+        return jnp.broadcast_to(val, (n,))
+
+    return ConfigurationSpaceCost(
+        q_ref=jnp.asarray(q_ref, dtype=dt),
+        v_ref=w("v_ref", nv),
+        q_weight=w("q_weight", nv), v_weight=w("v_weight", nv),
+        a_weight=w("a_weight", nv), u_weight=w("u_weight", dimu),
+        q_weight_terminal=w("q_weight_terminal", nv),
+        v_weight_terminal=w("v_weight_terminal", nv),
+        q_weight_impact=w("q_weight_impact", nv),
+        v_weight_impact=w("v_weight_impact", nv),
+        dv_weight_impact=w("dv_weight_impact", nv),
+    )
+
+
+def _qdiff_and_jac(model, cost, q):
+    """q ⊖ q_ref and the tangent Jacobian J s.t. d(qdiff) = J dq."""
+    if not model.floating_base:
+        return q - cost.q_ref, None
+    qdiff = rm.difference(model, cost.q_ref, q)
+    J = rm.d_difference_dq1(model, cost.q_ref, q)
+    return qdiff, J
+
+
+def eval_stage(model, cost, q, v, a, u, dt):
+    qdiff, _ = _qdiff_and_jac(model, cost, q)
+    c = 0.5 * (jnp.sum(cost.q_weight * qdiff ** 2)
+               + jnp.sum(cost.v_weight * (v - cost.v_ref) ** 2)
+               + jnp.sum(cost.a_weight * a ** 2)
+               + jnp.sum(cost.u_weight * u ** 2))
+    return dt * c
+
+
+def quadratize_stage(model, cost, q, v, a, u, dt):
+    """Returns (cost, lq, lv, la, lu, Wq(nv or nv,nv), Wv, Wa, Wu) with
+    weights dt-scaled; Wq is diagonal for fixed base, dense for floating."""
+    qdiff, J = _qdiff_and_jac(model, cost, q)
+    c = eval_stage(model, cost, q, v, a, u, dt)
+    if J is None:
+        lq = dt * cost.q_weight * qdiff
+        Wq = jnp.diag(dt * cost.q_weight)
+    else:
+        lq = dt * (J.T @ (cost.q_weight * qdiff))
+        Wq = dt * (J.T @ (cost.q_weight[:, None] * J))   # Gauss-Newton
+    lv = dt * cost.v_weight * (v - cost.v_ref)
+    la = dt * cost.a_weight * a
+    lu = dt * cost.u_weight * u
+    return c, lq, lv, la, lu, Wq, jnp.diag(dt * cost.v_weight), \
+        jnp.diag(dt * cost.a_weight), jnp.diag(dt * cost.u_weight)
+
+
+def eval_terminal(model, cost, q, v):
+    qdiff, _ = _qdiff_and_jac(model, cost, q)
+    return 0.5 * (jnp.sum(cost.q_weight_terminal * qdiff ** 2)
+                  + jnp.sum(cost.v_weight_terminal * (v - cost.v_ref) ** 2))
+
+
+def quadratize_terminal(model, cost, q, v):
+    qdiff, J = _qdiff_and_jac(model, cost, q)
+    c = eval_terminal(model, cost, q, v)
+    if J is None:
+        lq = cost.q_weight_terminal * qdiff
+        Wq = jnp.diag(cost.q_weight_terminal)
+    else:
+        lq = J.T @ (cost.q_weight_terminal * qdiff)
+        Wq = J.T @ (cost.q_weight_terminal[:, None] * J)
+    lv = cost.v_weight_terminal * (v - cost.v_ref)
+    return c, lq, lv, Wq, jnp.diag(cost.v_weight_terminal)
+
+
+def eval_impact(model, cost, q, v, dv):
+    qdiff, _ = _qdiff_and_jac(model, cost, q)
+    return 0.5 * (jnp.sum(cost.q_weight_impact * qdiff ** 2)
+                  + jnp.sum(cost.v_weight_impact * (v - cost.v_ref) ** 2)
+                  + jnp.sum(cost.dv_weight_impact * dv ** 2))
+
+
+def quadratize_impact(model, cost, q, v, dv):
+    qdiff, J = _qdiff_and_jac(model, cost, q)
+    c = eval_impact(model, cost, q, v, dv)
+    if J is None:
+        lq = cost.q_weight_impact * qdiff
+        Wq = jnp.diag(cost.q_weight_impact)
+    else:
+        lq = J.T @ (cost.q_weight_impact * qdiff)
+        Wq = J.T @ (cost.q_weight_impact[:, None] * J)
+    lv = cost.v_weight_impact * (v - cost.v_ref)
+    ldv = cost.dv_weight_impact * dv
+    return c, lq, lv, ldv, Wq, jnp.diag(cost.v_weight_impact), \
+        jnp.diag(cost.dv_weight_impact)

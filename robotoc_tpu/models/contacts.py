@@ -1,0 +1,220 @@
+"""Contact models: Baumgarte-stabilized acceleration contacts + impacts.
+
+TPU-native re-expression of the reference's PointContact/SurfaceContact
+(reference: include/robotoc/robot/point_contact.hxx:17-120,
+surface_contact.hxx) — residuals are pure functions of (q, v, a) with
+derivatives via forward-mode autodiff over the configuration tangent, and the
+contact stack has a STATIC maximum dimension with activity handled by masks
+downstream (no dynamic `dimf` resizing; SURVEY.md §7 design rule).
+
+Residual conventions copied from the reference:
+  * point contact (3D): LOCAL classical frame acceleration (linear)
+      + Kv * LOCAL frame velocity (linear) + Kp * (world position - ref)
+  * surface contact (6D): LOCAL spatial frame acceleration
+      + Kv * LOCAL spatial velocity + Kp * log6(ref^{-1} M_frame)
+  * impact velocity residual: LOCAL frame velocity (linear / spatial)
+  * contact forces are expressed in the LOCAL contact frame.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import lie
+from ..ops.spatial import force_transform, motion_cross, motion_transform_inv
+from . import robot as rm
+
+POINT = 3
+SURFACE = 6
+
+
+@struct.dataclass
+class ContactModel:
+    """Static contact-frame configuration for one robot.
+
+    Mirrors the reference's per-Robot contact lists
+    (reference robot/robot.hpp:920-921 + contact_model_info.hpp).
+    """
+    frame_ids: tuple = struct.field(pytree_node=False)
+    types: tuple = struct.field(pytree_node=False)      # POINT or SURFACE
+    frame_names: tuple = struct.field(pytree_node=False)
+    kp: jnp.ndarray   # (nc,) Baumgarte position gain
+    kv: jnp.ndarray   # (nc,) Baumgarte velocity gain
+
+    @property
+    def n_contacts(self) -> int:
+        return len(self.frame_ids)
+
+    @property
+    def dims(self):
+        return self.types
+
+    @property
+    def max_dimf(self) -> int:
+        return sum(self.types)
+
+
+def make_contacts(model: rm.RobotModel, frame_names, types=None,
+                  baumgarte_time_step: float = 0.04) -> ContactModel:
+    """Baumgarte gains from a characteristic time step: Kv = 2/T, Kp = 1/T^2
+    (reference contact_model_info.hpp:8-23)."""
+    n = len(frame_names)
+    if types is None:
+        types = (POINT,) * n
+    kv = 2.0 / baumgarte_time_step
+    kp = 1.0 / baumgarte_time_step ** 2
+    return ContactModel(
+        frame_ids=tuple(model.frame_id(f) for f in frame_names),
+        types=tuple(types),
+        frame_names=tuple(frame_names),
+        kp=jnp.full((n,), kp, dtype=model.dtype),
+        kv=jnp.full((n,), kv, dtype=model.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame motion state (velocities + accelerations through the chain)
+# ---------------------------------------------------------------------------
+
+def joint_motion_state(model: rm.RobotModel, q, v, a):
+    """Per-joint local spatial velocity and acceleration (no gravity term —
+    purely kinematic), plus world placements."""
+    vs, as_, Rs, ps = [], [], [], []
+    for i in range(model.nj):
+        Rl, pl = rm._joint_placement(model, i, q)
+        par = model.parents[i]
+        vJ = rm._joint_motion(model, i, v)
+        aJ = rm._joint_motion(model, i, a)
+        if par < 0:
+            vi = vJ
+            ai = aJ + motion_cross(vi, vJ)
+            Rs.append(Rl)
+            ps.append(pl)
+        else:
+            vi = motion_transform_inv(Rl, pl, vs[par]) + vJ
+            ai = (motion_transform_inv(Rl, pl, as_[par]) + aJ
+                  + motion_cross(vi, vJ))
+            Rs.append(Rs[par] @ Rl)
+            ps.append((Rs[par] @ pl[..., None])[..., 0] + ps[par])
+        vs.append(vi)
+        as_.append(ai)
+    return vs, as_, Rs, ps
+
+
+def _frame_state(model, contacts, c, q, v, a):
+    """(R_w, p_w, v_local, a_local_spatial) of contact frame c."""
+    vs, as_, Rs, ps = joint_motion_state(model, q, v, a)
+    fid = contacts.frame_ids[c]
+    par = model.frame_parents[fid]
+    fR, fp = model.frame_R[fid], model.frame_p[fid]
+    vf = motion_transform_inv(fR, fp, vs[par])
+    af = motion_transform_inv(fR, fp, as_[par])
+    Rw = Rs[par] @ fR
+    pw = (Rs[par] @ fp[..., None])[..., 0] + ps[par]
+    return Rw, pw, vf, af
+
+
+# ---------------------------------------------------------------------------
+# Residuals (reference point_contact.hxx / surface_contact.hxx)
+# ---------------------------------------------------------------------------
+
+def baumgarte_residual(model: rm.RobotModel, contacts: ContactModel,
+                       q, v, a, p_ref):
+    """Stacked Baumgarte residual over ALL contacts: (..., max_dimf).
+
+    p_ref: (nc, 3) desired world contact positions for point contacts, or
+    (nc, 3, 4)-style placements are handled by the surface variant (v1:
+    point contacts; surface support via `baumgarte_residual_surface`).
+    """
+    res = []
+    for c in range(contacts.n_contacts):
+        Rw, pw, vf, af = _frame_state(model, contacts, c, q, v, a)
+        if contacts.types[c] == POINT:
+            a_cl = af[..., :3] + jnp.cross(vf[..., 3:], vf[..., :3])
+            r = (a_cl + contacts.kv[c] * vf[..., :3]
+                 + contacts.kp[c] * (pw - p_ref[..., c, :]))
+            res.append(r)
+        else:
+            raise NotImplementedError("surface contacts: use *_surface")
+    return jnp.concatenate(res, axis=-1)
+
+
+def impact_velocity_residual(model: rm.RobotModel, contacts: ContactModel,
+                             q, v):
+    """Post-impact contact-velocity residual (reference robot.hpp:491)."""
+    res = []
+    zeros = jnp.zeros_like(v)
+    for c in range(contacts.n_contacts):
+        _, _, vf, _ = _frame_state(model, contacts, c, q, v, zeros)
+        res.append(vf[..., :3] if contacts.types[c] == POINT else vf)
+    return jnp.concatenate(res, axis=-1)
+
+
+def contact_position_residual(model: rm.RobotModel, contacts: ContactModel,
+                              q, p_ref):
+    """World contact-position error (switching constraint,
+    reference robot.hpp:518)."""
+    R_w, p_w = rm.forward_kinematics(model, q)
+    res = []
+    for c in range(contacts.n_contacts):
+        _, pw = rm.frame_placement(model, contacts.frame_ids[c], R_w, p_w)
+        res.append(pw - p_ref[..., c, :])
+    return jnp.concatenate(res, axis=-1)
+
+
+def contact_forces_to_joint(model: rm.RobotModel, contacts: ContactModel,
+                            f_stack):
+    """Local contact-frame forces (stacked, (..., max_dimf)) -> per-joint
+    6D external forces (..., nj, 6) for RNEA
+    (reference robot.hpp:542 setContactForces)."""
+    batch = f_stack.shape[:-1]
+    f_joint = jnp.zeros(batch + (model.nj, 6), dtype=f_stack.dtype)
+    off = 0
+    for c in range(contacts.n_contacts):
+        d = contacts.types[c]
+        fid = contacts.frame_ids[c]
+        par = model.frame_parents[fid]
+        fc = f_stack[..., off:off + d]
+        if d == POINT:
+            fc6 = jnp.concatenate(
+                [fc, jnp.zeros(batch + (3,), dtype=f_stack.dtype)], axis=-1)
+        else:
+            fc6 = fc
+        fj = force_transform(model.frame_R[fid], model.frame_p[fid], fc6)
+        f_joint = f_joint.at[..., par, :].add(fj)
+        off += d
+    return f_joint
+
+
+# ---------------------------------------------------------------------------
+# Derivatives (tangent-space jacfwd; the reference uses Pinocchio's
+# closed-form frame-acceleration derivatives — robot.hpp:460-534)
+# ---------------------------------------------------------------------------
+
+def baumgarte_derivatives(model, contacts, q, v, a, p_ref):
+    """(dB/dq, dB/dv, dB/da), each (..., max_dimf, nv)."""
+    z = jnp.zeros(model.nv, dtype=model.dtype)
+    dq = jax.jacfwd(lambda e: baumgarte_residual(
+        model, contacts, rm.integrate(model, q, e), v, a, p_ref))(z)
+    dv = jax.jacfwd(lambda e: baumgarte_residual(
+        model, contacts, q, v + e, a, p_ref))(z)
+    da = jax.jacfwd(lambda e: baumgarte_residual(
+        model, contacts, q, v, a + e, p_ref))(z)
+    return dq, dv, da
+
+
+def impact_velocity_derivatives(model, contacts, q, v):
+    z = jnp.zeros(model.nv, dtype=model.dtype)
+    dq = jax.jacfwd(lambda e: impact_velocity_residual(
+        model, contacts, rm.integrate(model, q, e), v))(z)
+    dv = jax.jacfwd(lambda e: impact_velocity_residual(
+        model, contacts, q, v + e))(z)
+    return dq, dv
+
+
+def contact_position_derivative(model, contacts, q, p_ref):
+    z = jnp.zeros(model.nv, dtype=model.dtype)
+    return jax.jacfwd(lambda e: contact_position_residual(
+        model, contacts, rm.integrate(model, q, e), p_ref))(z)

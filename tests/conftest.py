@@ -1,0 +1,23 @@
+"""Test configuration: run on a virtual 8-device CPU mesh in float64.
+
+The framework targets TPU (f32/bf16 compute paths), but unit tests validate
+numerics in f64 on CPU — mirroring the reference's double-precision oracle
+tests (reference: test/ uses Eigen doubles throughout).
+
+Note: this environment's sitecustomize pre-imports jax and registers a TPU
+plugin, so platform selection must go through jax.config (env vars set here
+would be read too late).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -10,10 +10,18 @@ budget => 400 updates/s/core). vs_baseline = aggregate updates/s / 400.
 """
 import json
 import math
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: TPU first-compiles go through a slow
+# remote-compile path in this environment; cache them across runs.
+os.makedirs(os.path.expanduser("~/.cache/robotoc_tpu_xla"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/robotoc_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

@@ -1,0 +1,116 @@
+"""Cost container + the per-stage quadratization interface.
+
+Re-expression of the reference's CostFunction/CostFunctionComponentBase
+(reference: include/robotoc/cost/cost_function.hpp:30,
+cost_function_component_base.hpp:68-199). Components are flax dataclasses
+(pytrees) with quadratize_* methods; the container is a plain tuple, so the
+component STRUCTURE is static for XLA while weights/references stay traced.
+Time-varying references take the grid time t (traced) — periodic gait refs
+are `where`-based formulas, not Python branches.
+
+Every quadratize method returns a StageQuad with Gauss-Newton Hessian
+blocks; missing blocks are zeros so containers just sum.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class StageQuad(NamedTuple):
+    cost: jnp.ndarray
+    lq: jnp.ndarray     # (nv,)
+    lv: jnp.ndarray
+    la: jnp.ndarray
+    lu: jnp.ndarray     # (dimu,)
+    lf: jnp.ndarray     # (nf,)
+    Qqq: jnp.ndarray    # (nv, nv)
+    Qvv: jnp.ndarray
+    Qaa: jnp.ndarray
+    Quu: jnp.ndarray    # (dimu, dimu)
+    Qff: jnp.ndarray    # (nf, nf)
+
+    @staticmethod
+    def zeros(nv, dimu, nf, dtype):
+        z = jnp.zeros
+        return StageQuad(
+            cost=z((), dtype), lq=z(nv, dtype), lv=z(nv, dtype),
+            la=z(nv, dtype), lu=z(dimu, dtype), lf=z(nf, dtype),
+            Qqq=z((nv, nv), dtype), Qvv=z((nv, nv), dtype),
+            Qaa=z((nv, nv), dtype), Quu=z((dimu, dimu), dtype),
+            Qff=z((nf, nf), dtype))
+
+    def __add__(self, o):
+        return StageQuad(*(a + b for a, b in zip(self, o)))
+
+
+class TerminalQuad(NamedTuple):
+    cost: jnp.ndarray
+    lq: jnp.ndarray
+    lv: jnp.ndarray
+    Qqq: jnp.ndarray
+    Qvv: jnp.ndarray
+
+    @staticmethod
+    def zeros(nv, dtype):
+        z = jnp.zeros
+        return TerminalQuad(z((), dtype), z(nv, dtype), z(nv, dtype),
+                            z((nv, nv), dtype), z((nv, nv), dtype))
+
+    def __add__(self, o):
+        return TerminalQuad(*(a + b for a, b in zip(self, o)))
+
+
+class ImpactQuad(NamedTuple):
+    cost: jnp.ndarray
+    lq: jnp.ndarray
+    lv: jnp.ndarray
+    ldv: jnp.ndarray
+    Qqq: jnp.ndarray
+    Qvv: jnp.ndarray
+    Qdvdv: jnp.ndarray
+
+    @staticmethod
+    def zeros(nv, dtype):
+        z = jnp.zeros
+        return ImpactQuad(z((), dtype), z(nv, dtype), z(nv, dtype),
+                          z(nv, dtype), z((nv, nv), dtype),
+                          z((nv, nv), dtype), z((nv, nv), dtype))
+
+    def __add__(self, o):
+        return ImpactQuad(*(a + b for a, b in zip(self, o)))
+
+
+def quadratize_stage(components, model, nf, q, v, a, u, f, t, dt):
+    out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
+    for comp in components:
+        out = out + comp.quadratize_stage(model, nf, q, v, a, u, f, t, dt)
+    return out
+
+
+def quadratize_terminal(components, model, q, v, t):
+    out = TerminalQuad.zeros(model.nv, model.dtype)
+    for comp in components:
+        out = out + comp.quadratize_terminal(model, q, v, t)
+    return out
+
+
+def quadratize_impact(components, model, q, v, dv, t):
+    out = ImpactQuad.zeros(model.nv, model.dtype)
+    for comp in components:
+        out = out + comp.quadratize_impact(model, q, v, dv, t)
+    return out
+
+
+def eval_stage(components, model, q, v, a, u, f, t, dt):
+    return sum(comp.eval_stage(model, q, v, a, u, f, t, dt)
+               for comp in components)
+
+
+def eval_terminal(components, model, q, v, t):
+    return sum(comp.eval_terminal(model, q, v, t) for comp in components)
+
+
+def eval_impact(components, model, q, v, dv, t):
+    return sum(comp.eval_impact(model, q, v, dv, t) for comp in components)

@@ -30,6 +30,36 @@ class ConfigurationSpaceCost:
     v_weight_impact: jnp.ndarray
     dv_weight_impact: jnp.ndarray
 
+    # --- component interface (costs/base.py) ---
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        return eval_stage(model, self, q, v, a, u, dt)
+
+    def eval_terminal(self, model, q, v, t):
+        return eval_terminal(model, self, q, v)
+
+    def eval_impact(self, model, q, v, dv, t):
+        return eval_impact(model, self, q, v, dv)
+
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        from .base import StageQuad
+        c, lq, lv, la, lu, Wq, Wv, Wa, Wu = quadratize_stage(
+            model, self, q, v, a, u, dt)
+        out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
+        return out._replace(cost=c, lq=lq, lv=lv, la=la, lu=lu,
+                            Qqq=Wq, Qvv=Wv, Qaa=Wa, Quu=Wu)
+
+    def quadratize_terminal(self, model, q, v, t):
+        from .base import TerminalQuad
+        c, lq, lv, Wq, Wv = quadratize_terminal(model, self, q, v)
+        return TerminalQuad(cost=c, lq=lq, lv=lv, Qqq=Wq, Qvv=Wv)
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        from .base import ImpactQuad
+        c, lq, lv, ldv, Wq, Wv, Wdv = quadratize_impact(model, self, q, v,
+                                                        dv)
+        return ImpactQuad(cost=c, lq=lq, lv=lv, ldv=ldv, Qqq=Wq, Qvv=Wv,
+                          Qdvdv=Wdv)
+
 
 def make_config_cost(model: rm.RobotModel, q_ref=None, **weights
                      ) -> ConfigurationSpaceCost:

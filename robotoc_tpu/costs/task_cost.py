@@ -1,0 +1,223 @@
+"""Task-space and CoM tracking costs with time-varying references.
+
+Re-expression of the reference's TaskSpace3DCost / CoMCost / periodic
+references (reference: include/robotoc/cost/task_space_3d_cost.hpp,
+com_cost.hpp, periodic_swing_foot_ref.hpp:69, periodic_com_ref.hpp:63,
+mpc/mpc_periodic_*_ref). References are closed-form functions of the grid
+time t (where-based, jit-safe) instead of virtual update_ref calls.
+
+Gauss-Newton quadratization: residual r(q) = task(q) - ref(t),
+lq = dt J^T W r, Qqq = dt J^T W J with J the task tangent Jacobian.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import robot as rm
+from .base import ImpactQuad, StageQuad, TerminalQuad
+
+
+# ---------------------------------------------------------------------------
+# References
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class ConstantRef:
+    p: jnp.ndarray
+
+    def __call__(self, t):
+        return self.p, jnp.asarray(1.0, self.p.dtype)
+
+
+@struct.dataclass
+class PeriodicSwingFootRef:
+    """Cyclic swing-foot trajectory (reference periodic_swing_foot_ref.hpp):
+    active only during swing; linear advance by step_length with a
+    sin^2-shaped height profile of apex step_height."""
+    p0: jnp.ndarray          # initial foot position (3,)
+    step_length: jnp.ndarray  # (3,) displacement per cycle
+    step_height: jnp.ndarray  # scalar
+    t0: jnp.ndarray          # first swing start
+    period_swing: jnp.ndarray
+    period: jnp.ndarray      # full cycle duration
+    first_half: bool = struct.field(pytree_node=False, default=False)
+    """If True the first (partial) step advances by half a step."""
+
+    def __call__(self, t):
+        dtype = self.p0.dtype
+        tau = t - self.t0
+        cycle = jnp.floor(tau / self.period)
+        tin = tau - cycle * self.period
+        in_swing = (tau >= 0.0) & (tin < self.period_swing)
+        phase = jnp.clip(tin / self.period_swing, 0.0, 1.0)
+        if self.first_half:
+            adv0 = 0.5 * self.step_length
+        else:
+            adv0 = self.step_length
+        # completed steps before this cycle
+        base = self.p0 + jnp.where(
+            cycle > 0,
+            (jnp.where(self.first_half, 0.5, 1.0)
+             + (cycle - 1.0)) * self.step_length,
+            jnp.zeros_like(self.step_length))
+        adv = jnp.where(cycle > 0, self.step_length, adv0)
+        pos = base + phase * adv
+        z = self.step_height * jnp.sin(jnp.pi * phase) ** 2
+        pos = pos + jnp.array([0.0, 0.0, 1.0], dtype) * z
+        active = jnp.where(in_swing, 1.0, 0.0).astype(dtype)
+        return pos, active
+
+
+@struct.dataclass
+class PeriodicCoMRef:
+    """CoM reference moving at constant velocity during swing phases
+    (reference periodic_com_ref.hpp)."""
+    com0: jnp.ndarray
+    vcom: jnp.ndarray        # (3,) velocity during active spans
+    t0: jnp.ndarray
+    period_active: jnp.ndarray
+    period_inactive: jnp.ndarray
+    first_rate: float = struct.field(pytree_node=False, default=1.0)
+
+    def __call__(self, t):
+        dtype = self.com0.dtype
+        period = self.period_active + self.period_inactive
+        tau = t - self.t0
+        cycle = jnp.floor(tau / period)
+        tin = tau - cycle * period
+        act_t = jnp.clip(tin, 0.0, self.period_active)
+        total_act = (jnp.maximum(cycle, 0.0) * self.period_active
+                     + jnp.where(tau >= 0, act_t, 0.0))
+        pos = self.com0 + self.vcom * total_act
+        return pos, jnp.asarray(1.0, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Costs
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class TaskSpace3DCost:
+    """Frame-position tracking (reference task_space_3d_cost.hpp)."""
+    frame_id: int = struct.field(pytree_node=False)
+    weight: jnp.ndarray          # (3,)
+    weight_terminal: jnp.ndarray
+    weight_impact: jnp.ndarray
+    ref: object                  # callable pytree: t -> (p_ref, active)
+
+    def _residual(self, model, q, t):
+        p = rm.frame_position(model, self.frame_id, q)
+        p_ref, active = self.ref(t)
+        return (p - p_ref), active
+
+    def _quad(self, model, q, t, w):
+        r, active = self._residual(model, q, t)
+        J = rm.tangent_jacobian(
+            model, q, lambda qq: rm.frame_position(model, self.frame_id, qq))
+        wr = active * w * r
+        cost = 0.5 * active * jnp.sum(w * r * r)
+        lq = J.T @ wr
+        Qqq = J.T @ ((active * w)[:, None] * J)
+        return cost, lq, Qqq
+
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        r, active = self._residual(model, q, t)
+        return dt * 0.5 * active * jnp.sum(self.weight * r * r)
+
+    def eval_terminal(self, model, q, v, t):
+        r, active = self._residual(model, q, t)
+        return 0.5 * active * jnp.sum(self.weight_terminal * r * r)
+
+    def eval_impact(self, model, q, v, dv, t):
+        r, active = self._residual(model, q, t)
+        return 0.5 * active * jnp.sum(self.weight_impact * r * r)
+
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        c, lq, Qqq = self._quad(model, q, t, self.weight)
+        out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
+        return out._replace(cost=dt * c, lq=dt * lq, Qqq=dt * Qqq)
+
+    def quadratize_terminal(self, model, q, v, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_terminal)
+        out = TerminalQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_impact)
+        out = ImpactQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+
+@struct.dataclass
+class CoMCost:
+    """Center-of-mass tracking (reference com_cost.hpp)."""
+    weight: jnp.ndarray
+    weight_terminal: jnp.ndarray
+    weight_impact: jnp.ndarray
+    ref: object
+
+    def _quad(self, model, q, t, w):
+        c = rm.com(model, q)
+        p_ref, active = self.ref(t)
+        r = c - p_ref
+        J = rm.tangent_jacobian(model, q, lambda qq: rm.com(model, qq))
+        cost = 0.5 * active * jnp.sum(w * r * r)
+        lq = J.T @ (active * w * r)
+        Qqq = J.T @ ((active * w)[:, None] * J)
+        return cost, lq, Qqq
+
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        return dt * self._quad(model, q, t, self.weight)[0]
+
+    def eval_terminal(self, model, q, v, t):
+        return self._quad(model, q, t, self.weight_terminal)[0]
+
+    def eval_impact(self, model, q, v, dv, t):
+        return self._quad(model, q, t, self.weight_impact)[0]
+
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        c, lq, Qqq = self._quad(model, q, t, self.weight)
+        out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
+        return out._replace(cost=dt * c, lq=dt * lq, Qqq=dt * Qqq)
+
+    def quadratize_terminal(self, model, q, v, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_terminal)
+        out = TerminalQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_impact)
+        out = ImpactQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+
+@struct.dataclass
+class LocalContactForceCost:
+    """Quadratic cost on local contact forces (reference
+    local_contact_force_cost.hpp); only active contacts contribute."""
+    f_weight: jnp.ndarray   # (nf,)
+    f_ref: jnp.ndarray      # (nf,)
+
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        return dt * 0.5 * jnp.sum(self.f_weight * (f - self.f_ref) ** 2)
+
+    def eval_terminal(self, model, q, v, t):
+        return jnp.asarray(0.0, model.dtype)
+
+    def eval_impact(self, model, q, v, dv, t):
+        return jnp.asarray(0.0, model.dtype)
+
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
+        return out._replace(
+            cost=self.eval_stage(model, q, v, a, u, f, t, dt),
+            lf=dt * self.f_weight * (f - self.f_ref),
+            Qff=jnp.diag(dt * self.f_weight))
+
+    def quadratize_terminal(self, model, q, v, t):
+        return TerminalQuad.zeros(model.nv, model.dtype)
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        return ImpactQuad.zeros(model.nv, model.dtype)

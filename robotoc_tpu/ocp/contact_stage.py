@@ -1,0 +1,245 @@
+"""Intermediate stage of the contact OCP: evaluate + condense one grid.
+
+TPU-native re-derivation of the reference's per-grid pipeline
+(reference: src/ocp/intermediate_stage.cpp:85-149 — kinematics, cost
+quadratization, constraint linearization/condensing, state equation,
+contact-dynamics condensing, Lie correction), evaluated for ALL grids as one
+vmapped kernel instead of an OpenMP loop.
+
+Stage NLP (grid i, step dt):
+  primal  s = (q, v, a, u, f),  duals: lmd/gmm (costates), beta (inverse
+  dynamics), mu (contact constraint), PDIPM pairs for joint limits and
+  friction cones.
+  dynamics:    RNEA(q, v, a, f) = S_act^T u          (dual beta)
+  contact:     Baumgarte C(q, v, a) = 0  on active contacts   (dual mu)
+  state eq:    q' = q ⊕ dt v (Lie-corrected),  v' = v + dt a
+  inequality:  joint box limits; friction cones (PDIPM, masked stacks)
+
+Condensing eliminates (da, df, beta, mu) through the symmetric contact-space
+KKT inverse (dynamics/contact_dynamics.py), yielding an LQR block over
+x = (dq, dv), ubar = du. See that module's docstring for the algebra.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import friction_cone as fc
+from ..constraints import joint_limits as jl
+from ..constraints import pdipm
+from ..costs import config_cost as cc
+from ..dynamics import state_equation as se
+from ..dynamics.contact_dynamics import mjtj_inverse, ty_solve
+from ..models import contacts as ct
+from ..models import robot as rm
+
+
+class StageBlocks(NamedTuple):
+    # LQR blocks
+    A: jnp.ndarray
+    B: jnp.ndarray
+    xres: jnp.ndarray
+    Qxx: jnp.ndarray
+    Qxu: jnp.ndarray
+    Quu: jnp.ndarray
+    lx: jnp.ndarray
+    lu: jnp.ndarray
+    # expansion data
+    G: jnp.ndarray        # (nv+nf, 2nv+nu)  y = G w + c0
+    c0: jnp.ndarray       # (nv+nf,)
+    inv11: jnp.ndarray
+    inv12: jnp.ndarray
+    Sinv: jnp.ndarray
+    Hy: jnp.ndarray       # (nv+nf, nv+nf) y-space Hessian
+    Cwy: jnp.ndarray      # (2nv+nu, nv+nf) cross Hessian
+    gy: jnp.ndarray       # (nv+nf,)
+    e_lim: jnp.ndarray
+    e_cone: jnp.ndarray
+    # diagnostics
+    kkt_sq: jnp.ndarray
+    cost: jnp.ndarray
+    barrier_cost: jnp.ndarray
+    prim_feas: jnp.ndarray
+    dual_feas: jnp.ndarray
+
+
+def stage_eval(model, contacts, cost, limits, dt, barrier,
+               q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
+               q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+               cmask, p_ref, fric):
+    """One intermediate grid. cmask: (nc,) activity; p_ref: (nc, 3)."""
+    nv, nu_dim = model.nv, model.dimu
+    nf = 3 * contacts.n_contacts
+    dtype = q.dtype
+    rowmask = jnp.repeat(cmask, 3)                  # (nf,)
+    cone_mask = jnp.repeat(cmask, 5).astype(bool)   # (5nc,)
+
+    # ---- dynamics residual + derivatives -------------------------------
+    f_eff = f * rowmask
+    f_joint = ct.contact_forces_to_joint(model, contacts, f_eff)
+    Sact = jnp.zeros((nu_dim, nv), dtype).at[:, nv - nu_dim:].set(
+        jnp.eye(nu_dim, dtype=dtype))               # maps full->actuated
+    ID_res = rm.rnea(model, q, v, a, f_joint) - Sact.T @ u
+    dIDdq, dIDdv, M = rm.rnea_derivatives(model, q, v, a, f_joint)
+
+    # ---- contact (Baumgarte) residual + derivatives --------------------
+    C_res = ct.baumgarte_residual(model, contacts, q, v, a, p_ref)
+    dCdq, dCdv, J = ct.baumgarte_derivatives(model, contacts, q, v, a, p_ref)
+    C_res = C_res * rowmask
+    dCdq = dCdq * rowmask[:, None]
+    dCdv = dCdv * rowmask[:, None]
+    J = J * rowmask[:, None]
+
+    # ---- cost ----------------------------------------------------------
+    c, lq_c, lv_c, la_c, lu_c, Wq, Wv, Wa, Wu = cc.quadratize_stage(
+        model, cost, q, v, a, u, dt)
+    lf_c = jnp.zeros(nf, dtype)                     # force cost hook
+    Wf = jnp.zeros((nf, nf), dtype)
+
+    # ---- inequality constraints (PDIPM) --------------------------------
+    e_lim = jl.constraint_values(model, limits, q, v, u)
+    Hq_d, Hv_d, Hu_d, gq_cd, gv_cd, gu_cd = jl.condense(
+        model, limits, e_lim, s_lim, z_lim, barrier)
+    zq, zv, zu = jl.dual_residual(model, limits, z_lim)
+
+    g_cone, dgdf, dgdq = fc.residual_and_jac(model, contacts, q, f_eff,
+                                             fric)
+    d_cone = pdipm.condensing_diag(s_cone, z_cone, cone_mask)
+    r_cone = pdipm.condensing_rhs(g_cone, s_cone, z_cone, barrier, cone_mask)
+    zr = jnp.where(cone_mask, z_cone, 0.0) + r_cone
+    cone_gq = dgdq.T @ zr
+    cone_gf = dgdf.T @ zr
+    cone_Hqq = dgdq.T @ (d_cone[:, None] * dgdq)
+    cone_Hqf = dgdq.T @ (d_cone[:, None] * dgdf)
+    cone_Hff = dgdf.T @ (d_cone[:, None] * dgdf)
+
+    # ---- state equation (Lie-corrected) --------------------------------
+    Aqq, Aqv, xres_q = se.linearize(model, q, v, dt, q_n)
+    Fv_res = v + dt * a - v_n
+
+    # ---- contact-dynamics condensing -----------------------------------
+    inactive = 1.0 - rowmask
+    inv11, inv12, Sinv = mjtj_inverse(M, J, inactive)
+    # T_w columns: rhs1 = [dIDdq | dIDdv | -Sact^T], rhs2 = [dCdq|dCdv|0]
+    # (rhs2 inactive rows irrelevant: already zeroed).
+    Tw1 = jnp.concatenate([dIDdq, dIDdv, -Sact.T], axis=1)  # (nv, w)
+    Tw2 = jnp.concatenate([dCdq, dCdv, jnp.zeros((nf, nu_dim), dtype)],
+                          axis=1)
+    X1, X2 = ty_solve(inv11, inv12, Sinv, Tw1, Tw2)
+    # y = (da, df): da = -X1 w - x1_0 ; nu = -df: df = +(X2 w + x2_0)
+    e2 = jnp.where(rowmask > 0, C_res, f)   # rhs2_0: active C_res, else f
+    x1_0, x2_0 = ty_solve(inv11, inv12, Sinv, ID_res, e2)
+    G = jnp.concatenate([-X1, X2], axis=0)            # (nv+nf, w)
+    c0 = jnp.concatenate([-x1_0, x2_0], axis=0)
+
+    # ---- condensed quadratic over w = (dq, dv, du) ---------------------
+    w_dim = 2 * nv + nu_dim
+    Hw = jnp.zeros((w_dim, w_dim), dtype)
+    Hw = Hw.at[:nv, :nv].set(Wq + jnp.diag(Hq_d) + cone_Hqq)
+    Hw = Hw.at[nv:2 * nv, nv:2 * nv].set(Wv + jnp.diag(Hv_d))
+    Hw = Hw.at[2 * nv:, 2 * nv:].set(Wu + jnp.diag(Hu_d))
+    gw = jnp.concatenate([lq_c + zq + gq_cd + cone_gq,
+                          lv_c + zv + gv_cd,
+                          lu_c + zu + gu_cd])
+    Hy = jnp.zeros((nv + nf, nv + nf), dtype)
+    Hy = Hy.at[:nv, :nv].set(Wa)
+    Hy = Hy.at[nv:, nv:].set(Wf + cone_Hff)
+    gy = jnp.concatenate([la_c, lf_c + cone_gf])
+    Cwy = jnp.zeros((w_dim, nv + nf), dtype)
+    Cwy = Cwy.at[:nv, nv:].set(cone_Hqf)
+
+    Htil = Hw + Cwy @ G + G.T @ Cwy.T + G.T @ Hy @ G
+    gtil = gw + Cwy @ c0 + G.T @ (Hy @ c0 + gy)
+
+    # ---- LQR blocks ----------------------------------------------------
+    da_dw, da_0 = -X1, -x1_0
+    A = jnp.zeros((2 * nv, 2 * nv), dtype)
+    A = A.at[:nv, :nv].set(Aqq).at[:nv, nv:].set(Aqv)
+    A = A.at[nv:, :nv].set(dt * da_dw[:, :nv])
+    A = A.at[nv:, nv:].set(jnp.eye(nv, dtype=dtype)
+                           + dt * da_dw[:, nv:2 * nv])
+    B = jnp.concatenate([jnp.zeros((nv, nu_dim), dtype),
+                         dt * da_dw[:, 2 * nv:]], axis=0)
+    xres = jnp.concatenate([xres_q, Fv_res + dt * da_0])
+    Qxx = Htil[:2 * nv, :2 * nv]
+    Qxu = Htil[:2 * nv, 2 * nv:]
+    Quu = Htil[2 * nv:, 2 * nv:]
+    lam = jnp.concatenate([lmd_n, gmm_n])
+    lx = (gtil[:2 * nv] + A.T @ lam
+          - jnp.concatenate([lmd, gmm]))
+    lu = gtil[2 * nv:] + B.T @ lam
+
+    # ---- full KKT residuals (diagnostics, current duals) ---------------
+    lq_full = (lq_c + zq + dgdq.T @ jnp.where(cone_mask, z_cone, 0.0)
+               + dIDdq.T @ beta + dCdq.T @ mu
+               + Aqq.T @ lmd_n - lmd)
+    lv_full = (lv_c + zv + dIDdv.T @ beta + dCdv.T @ mu
+               + Aqv.T @ lmd_n + gmm_n - gmm)
+    la_full = la_c + M.T @ beta + J.T @ mu + dt * gmm_n
+    lf_full = (lf_c + dgdf.T @ jnp.where(cone_mask, z_cone, 0.0)
+               - J @ beta) * rowmask
+    lu_full = lu_c + zu - Sact @ beta
+    r_lim = pdipm.residual(e_lim, s_lim, limits.mask)
+    c_lim = pdipm.complementarity(s_lim, z_lim, barrier, limits.mask)
+    r_cone_p = pdipm.residual(g_cone, s_cone, cone_mask)
+    c_cone = pdipm.complementarity(s_cone, z_cone, barrier, cone_mask)
+    kkt_sq = (jnp.sum(xres_q**2) + jnp.sum(Fv_res**2) + jnp.sum(ID_res**2)
+              + jnp.sum(C_res**2)
+              + jnp.sum(lq_full**2) + jnp.sum(lv_full**2)
+              + jnp.sum(la_full**2) + jnp.sum(lf_full**2)
+              + jnp.sum(lu_full**2)
+              + jnp.sum(r_lim**2) + jnp.sum(c_lim**2)
+              + jnp.sum(r_cone_p**2) + jnp.sum(c_cone**2))
+    barrier_cost = (pdipm.log_barrier(s_lim, barrier, limits.mask)
+                    + pdipm.log_barrier(s_cone, barrier, cone_mask))
+    prim = (jnp.sum(jnp.abs(xres_q)) + jnp.sum(jnp.abs(Fv_res))
+            + jnp.sum(jnp.abs(ID_res)) + jnp.sum(jnp.abs(C_res))
+            + jnp.sum(jnp.abs(r_lim)) + jnp.sum(jnp.abs(r_cone_p)))
+    dual = jnp.sum(jnp.abs(c_lim)) + jnp.sum(jnp.abs(c_cone))
+
+    return StageBlocks(A=A, B=B, xres=xres, Qxx=Qxx, Qxu=Qxu, Quu=Quu,
+                       lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
+                       Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
+                       e_lim=e_lim, e_cone=g_cone,
+                       kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
+                       prim_feas=prim, dual_feas=dual)
+
+
+def expand(model, contacts, limits, barrier, blocks: StageBlocks,
+           dq, dv, du, gmm_n_new, dt,
+           f, beta, mu, s_lim, z_lim, s_cone, z_cone, cmask, fric, q):
+    """Recover (da, df, dbeta, dmu, slack/dual dirs) from LQR directions
+    (reference contact_dynamics.cpp:167-202 expandPrimal/expandDual).
+    gmm_n_new: the UPDATED next-grid velocity costate gmm' + dgmm'."""
+    nv, nu_dim = model.nv, model.dimu
+    nf = 3 * contacts.n_contacts
+    rowmask = jnp.repeat(cmask, 3)
+    cone_mask = jnp.repeat(cmask, 5).astype(bool)
+    w = jnp.concatenate([dq, dv, du])
+    y = blocks.G @ w + blocks.c0
+    da, df = y[:nv], y[nv:]
+    # dual expansion: T_y^T (beta, mu)_new = -(H_y y + C_wy^T w + g_y
+    #                                          + S_y^T Lam'_new)
+    gy_new = (blocks.Hy @ y + blocks.Cwy.T @ w + blocks.gy)
+    ga = gy_new[:nv] + dt * gmm_n_new
+    gf = gy_new[nv:]
+    # rows: M beta + J^T mu = -ga ; J beta = gf (active), mu=0 (inactive)
+    rhs2 = jnp.where(rowmask > 0, gf, 0.0)
+    beta_new, mu_new = ty_solve(blocks.inv11, blocks.inv12, blocks.Sinv,
+                                -ga, rhs2)
+    dbeta = beta_new - beta
+    dmu = mu_new - mu
+    # slack/dual directions
+    de_lim = jl.constraint_direction(model, limits, dq, dv, du)
+    ds_lim, dz_lim = pdipm.expand_slack_dual(
+        blocks.e_lim, s_lim, z_lim, barrier, de_lim, limits.mask)
+    _, dgdf, dgdq = fc.residual_and_jac(model, contacts, q,
+                                        f * rowmask, fric)
+    de_cone = dgdq @ dq + dgdf @ (df * rowmask)
+    ds_cone, dz_cone = pdipm.expand_slack_dual(
+        blocks.e_cone, s_cone, z_cone, barrier, de_cone, cone_mask)
+    return (da, df, dbeta, dmu, ds_lim, dz_lim, ds_cone, dz_cone,
+            cone_mask)

@@ -1,0 +1,239 @@
+"""OCPSolver: whole-body optimal control with contacts and a floating base.
+
+TPU-native counterpart of the reference's flagship solver
+(reference: include/robotoc/solver/ocp_solver.hpp:41,
+src/solver/ocp_solver.cpp:10-493). One Newton update = one XLA computation:
+batched stage evaluation+condensing (vmap over grids), scan-Riccati, batched
+expansion, fraction-to-boundary, manifold update. The contact schedule enters
+as per-grid ARRAYS (planner/contact_sequence.py) so MPC re-discretization
+never recompiles.
+
+v1 scope: grid-based discretization, intermediate+terminal stages (impact
+stages land next), joint limits + friction cones, fixed barrier parameter.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..constraints import friction_cone as fc
+from ..constraints import joint_limits as jl
+from ..constraints import pdipm
+from ..core.structs import LQRData
+from ..costs import config_cost as cc
+from ..models import contacts as ct
+from ..models import robot as rm
+from ..ocp import contact_stage as stage
+from ..planner.contact_sequence import GridData
+from ..riccati import lqr
+
+
+@struct.dataclass
+class Solution:
+    """Horizon-stacked primal-dual iterate for the contact OCP
+    (reference core/split_solution.hpp:87-169, stacked)."""
+    q: jnp.ndarray        # (N+1, nq)
+    v: jnp.ndarray        # (N+1, nv)
+    a: jnp.ndarray        # (N+1, nv)
+    u: jnp.ndarray        # (N+1, dimu)
+    f: jnp.ndarray        # (N+1, nf)
+    lmd: jnp.ndarray      # (N+1, nv)
+    gmm: jnp.ndarray      # (N+1, nv)
+    beta: jnp.ndarray     # (N+1, nv)
+    mu: jnp.ndarray       # (N+1, nf)
+    s_lim: jnp.ndarray    # (N, 6*dimu)
+    z_lim: jnp.ndarray
+    s_cone: jnp.ndarray   # (N, 5*nc)
+    z_cone: jnp.ndarray
+
+
+@struct.dataclass
+class SolverOptions:
+    max_iter: int = struct.field(pytree_node=False, default=100)
+    kkt_tol: float = struct.field(pytree_node=False, default=1e-7)
+    barrier: float = struct.field(pytree_node=False, default=1e-3)
+    fraction_to_boundary_rule: float = struct.field(
+        pytree_node=False, default=0.995)
+
+
+class OCPSolver:
+    def __init__(self, model: rm.RobotModel, contacts: ct.ContactModel,
+                 cost: cc.ConfigurationSpaceCost,
+                 limits: Optional[jl.JointLimits], T: float, N: int,
+                 options: SolverOptions = SolverOptions()):
+        self.model = model
+        self.contacts = contacts
+        self.cost = cost
+        self.limits = limits if limits is not None \
+            else jl.make_joint_limits(model)
+        self.T, self.N = float(T), int(N)
+        self.options = options
+        self._solve = jax.jit(functools.partial(
+            _solve, model, contacts, self.cost, self.limits,
+            options.max_iter, options.kkt_tol, options.barrier,
+            options.fraction_to_boundary_rule))
+        self._update = jax.jit(functools.partial(
+            _update, model, contacts, self.cost, self.limits,
+            options.barrier, options.fraction_to_boundary_rule))
+        self._kkt_error = jax.jit(functools.partial(
+            _kkt_error, model, contacts, self.cost, self.limits,
+            options.barrier))
+
+    def init_solution(self, grid: GridData, q, v,
+                      f_init: Optional[jnp.ndarray] = None) -> Solution:
+        """Warm start: constant (q, v), forces distributing the weight over
+        active contacts (reference mpc_* init pattern)."""
+        m = self.model
+        n1 = self.N + 1
+        nf = 3 * self.contacts.n_contacts
+        dtype = m.dtype
+        q = jnp.broadcast_to(jnp.asarray(q, dtype), (n1, m.nq))
+        v = jnp.broadcast_to(jnp.asarray(v, dtype), (n1, m.nv))
+        znv = jnp.zeros((n1, m.nv), dtype)
+        if f_init is None:
+            # distribute weight: mg / n_active on each active contact (z)
+            n_active = jnp.maximum(jnp.sum(grid.contact_mask, axis=1), 1.0)
+            fz = m.total_mass * 9.81 / n_active
+            f_init = jnp.zeros((n1, nf), dtype)
+            for c in range(self.contacts.n_contacts):
+                f_init = f_init.at[:, 3 * c + 2].set(
+                    fz * grid.contact_mask[:, c])
+        e_lim = jl.constraint_values(self.model, self.limits, q[:-1], v[:-1],
+                                     jnp.zeros((self.N, m.dimu), dtype))
+        s_lim, z_lim = pdipm.init_slack_dual(e_lim, self.options.barrier,
+                                             self.limits.mask)
+        cone_mask = jnp.repeat(grid.contact_mask[:-1], 5, axis=1) > 0
+        g_cone = jax.vmap(
+            lambda qq, ff, fr: fc.residual_and_jac(
+                m, self.contacts, qq, ff, fr)[0])(
+            q[:-1], f_init[:-1], grid.friction[:-1])
+        s_cone, z_cone = pdipm.init_slack_dual(g_cone, self.options.barrier,
+                                               cone_mask)
+        return Solution(q=q, v=v, a=znv, u=jnp.zeros((n1, m.dimu), dtype),
+                        f=f_init, lmd=znv, gmm=znv, beta=znv,
+                        mu=jnp.zeros((n1, nf), dtype),
+                        s_lim=s_lim, z_lim=z_lim,
+                        s_cone=s_cone, z_cone=z_cone)
+
+    def solve(self, grid: GridData, q_init, v_init,
+              sol: Optional[Solution] = None, max_iter: Optional[int] = None):
+        if sol is None:
+            sol = self.init_solution(grid, q_init, v_init)
+        q_init = jnp.asarray(q_init, self.model.dtype)
+        v_init = jnp.asarray(v_init, self.model.dtype)
+        return self._solve(sol, grid, q_init, v_init)
+
+    def update(self, grid: GridData, q_init, v_init, sol: Solution):
+        """One Newton update (MPC mode)."""
+        return self._update(sol, grid, jnp.asarray(q_init),
+                            jnp.asarray(v_init))
+
+    def kkt_error(self, grid: GridData, q_init, v_init, sol: Solution):
+        return float(self._kkt_error(sol, grid, jnp.asarray(q_init),
+                                     jnp.asarray(v_init)))
+
+
+# ---------------------------------------------------------------------------
+
+def _build(model, contacts, cost, limits, barrier, sol: Solution,
+           grid: GridData, q_init, v_init):
+    dt = grid.dt
+    fn = jax.vmap(functools.partial(
+        stage.stage_eval, model, contacts, cost, limits))
+    blocks = fn(dt, jnp.full_like(dt, barrier),
+                sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.f[:-1],
+                sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1], sol.gmm[:-1],
+                sol.lmd[1:], sol.gmm[1:], sol.q[1:], sol.v[1:],
+                sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
+                grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1])
+    cN, lqN, lvN, WqN, WvN = cc.quadratize_terminal(
+        model, cost, sol.q[-1], sol.v[-1])
+    lxN = jnp.concatenate([lqN - sol.lmd[-1], lvN - sol.gmm[-1]])
+    zb = jnp.zeros_like(WqN)
+    QxxN = jnp.block([[WqN, zb], [zb, WvN]])
+    data = LQRData(A=blocks.A, B=blocks.B, xres=blocks.xres,
+                   Qxx=blocks.Qxx, Qxu=blocks.Qxu, Quu=blocks.Quu,
+                   lx=blocks.lx, lu=blocks.lu, Qxx_N=QxxN, lx_N=lxN)
+    dq0 = rm.difference(model, sol.q[0], q_init)
+    dx0 = jnp.concatenate([dq0, v_init - sol.v[0]])
+    kkt_sq = (jnp.sum(blocks.kkt_sq) + jnp.sum(lxN**2) + jnp.sum(dx0**2))
+    total_cost = jnp.sum(blocks.cost) + cN
+    return data, blocks, dx0, kkt_sq, total_cost
+
+
+def _update(model, contacts, cost, limits, barrier, ftb, sol: Solution,
+            grid: GridData, q_init, v_init):
+    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, cost, limits,
+                                          barrier, sol, grid, q_init, v_init)
+    dx, du, dlmd_all, _ = lqr.solve(data, dx0)
+    nv = model.nv
+    dq, dv = dx[:-1, :nv], dx[:-1, nv:]
+    dqN, dvN = dx[-1, :nv], dx[-1, nv:]
+    dlmd, dgmm = dlmd_all[:, :nv], dlmd_all[:, nv:]
+    exp = jax.vmap(functools.partial(
+        stage.expand, model, contacts, limits, barrier))
+    (da, df, dbeta, dmu, ds_lim, dz_lim, ds_cone, dz_cone, cone_mask) = exp(
+        blocks, dq, dv, du, sol.gmm[1:] + dgmm[1:], grid.dt,
+        sol.f[:-1], sol.beta[:-1], sol.mu[:-1],
+        sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
+        grid.contact_mask[:-1], grid.friction[:-1], sol.q[:-1])
+    a_p = jnp.minimum(
+        pdipm.fraction_to_boundary(sol.s_lim, ds_lim, ftb, limits.mask),
+        pdipm.fraction_to_boundary(sol.s_cone, ds_cone, ftb, cone_mask))
+    a_d = jnp.minimum(
+        pdipm.fraction_to_boundary(sol.z_lim, dz_lim, ftb, limits.mask),
+        pdipm.fraction_to_boundary(sol.z_cone, dz_cone, ftb, cone_mask))
+    a_p = jnp.minimum(a_p, a_d)
+    dq_all = jnp.concatenate([dq, dqN[None]], axis=0)
+    dv_all = jnp.concatenate([dv, dvN[None]], axis=0)
+    pad0 = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    new = Solution(
+        q=rm.integrate(model, sol.q, a_p * dq_all),
+        v=sol.v + a_p * dv_all,
+        a=sol.a + a_p * pad0(da),
+        u=sol.u + a_p * pad0(du),
+        f=sol.f + a_p * pad0(df),
+        lmd=sol.lmd + a_p * dlmd,
+        gmm=sol.gmm + a_p * dgmm,
+        beta=sol.beta + a_p * pad0(dbeta),
+        mu=sol.mu + a_p * pad0(dmu),
+        s_lim=sol.s_lim + a_p * ds_lim,
+        z_lim=sol.z_lim + a_d * dz_lim,
+        s_cone=sol.s_cone + a_p * ds_cone,
+        z_cone=sol.z_cone + a_d * dz_cone,
+    )
+    return new, jnp.sqrt(kkt_sq), a_p
+
+
+def _kkt_error(model, contacts, cost, limits, barrier, sol, grid,
+               q_init, v_init):
+    _, _, _, kkt_sq, _ = _build(model, contacts, cost, limits, barrier,
+                                sol, grid, q_init, v_init)
+    return jnp.sqrt(kkt_sq)
+
+
+def _solve(model, contacts, cost, limits, max_iter, kkt_tol, barrier, ftb,
+           sol, grid, q_init, v_init):
+    def cond(state):
+        _, it, kkt, _ = state
+        return (it < max_iter) & (kkt > kkt_tol)
+
+    def body(state):
+        s, it, _, _ = state
+        new, _, alpha = _update(model, contacts, cost, limits, barrier, ftb,
+                                s, grid, q_init, v_init)
+        kkt = _kkt_error(model, contacts, cost, limits, barrier, new, grid,
+                         q_init, v_init)
+        return new, it + 1, kkt, alpha
+
+    kkt0 = _kkt_error(model, contacts, cost, limits, barrier, sol, grid,
+                      q_init, v_init)
+    one = jnp.asarray(1.0, sol.q.dtype)
+    sol, iters, kkt, alpha = jax.lax.while_loop(
+        cond, body, (sol, jnp.asarray(0), kkt0, one))
+    return sol, dict(iterations=iters, kkt_error=kkt, last_step_size=alpha)

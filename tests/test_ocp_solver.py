@@ -1,0 +1,99 @@
+"""Contact OCPSolver convergence on the ANYmal standing problem
+(reference: test/solver/ocp_solver_test.cpp scenario + examples/anymal)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robotoc_tpu.constraints.joint_limits import make_joint_limits
+from robotoc_tpu.costs.config_cost import make_config_cost
+from robotoc_tpu.models import forward_kinematics, frame_placement, load_robot
+from robotoc_tpu.models.contacts import make_contacts
+from robotoc_tpu.planner.contact_sequence import ContactSchedule, discretize
+from robotoc_tpu.solver import ocp_solver as OS
+
+FEET = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
+Q_STANDING = jnp.array([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                        -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0])
+
+
+@functools.lru_cache(maxsize=1)
+def _setup(N=4):
+    m = load_robot("anymal")
+    contacts = make_contacts(m, FEET, baumgarte_time_step=0.04)
+    q_weight = jnp.array([0, 0, 0, 250000, 250000, 250000] + [0.0001] * 12)
+    v_weight = jnp.array([100.0] * 6 + [1.0] * 12)
+    cost = make_config_cost(m, q_ref=Q_STANDING, q_weight=q_weight,
+                            v_weight=v_weight, a_weight=1e-6, u_weight=1e-1,
+                            q_weight_terminal=q_weight,
+                            v_weight_terminal=v_weight)
+    lim = make_joint_limits(m, u_limit=jnp.full(12, 80.0),
+                            v_limit=jnp.full(12, 15.0))
+    Rw, pw = forward_kinematics(m, Q_STANDING)
+    placements = np.stack(
+        [np.array(frame_placement(m, m.frame_id(f), Rw, pw)[1])
+         for f in FEET])
+    sched = ContactSchedule(nc=4).init([True] * 4, placements)
+    grid = discretize(sched, 0.0, 0.025 * N, N)
+    solver = OS.OCPSolver(m, contacts, cost, lim, T=0.025 * N, N=N)
+    upd = jax.jit(functools.partial(OS._update, m, contacts, cost, lim,
+                                    1e-3, 0.995))
+    ke = jax.jit(functools.partial(OS._kkt_error, m, contacts, cost, lim,
+                                   1e-3))
+    return m, contacts, solver, grid, upd, ke
+
+
+def _solve(n_iter=12):
+    m, contacts, solver, grid, upd, ke = _setup()
+    v0 = jnp.zeros(18)
+    sol = solver.init_solution(grid, Q_STANDING, v0)
+    for _ in range(n_iter):
+        sol, _, _ = upd(sol, grid, Q_STANDING, v0)
+    return m, sol, float(ke(sol, grid, Q_STANDING, v0))
+
+
+def test_standing_converges():
+    m, sol, kkt = _solve()
+    assert kkt < 1e-8
+    # weight supported by the four feet
+    fz_sum = float(jnp.sum(sol.f[0].reshape(4, 3)[:, 2]))
+    assert abs(fz_sum - float(m.total_mass) * 9.81) < 0.1 * 9.81 * float(
+        m.total_mass)
+
+
+def test_friction_cone_satisfied():
+    """Cone is imposed on WORLD-frame forces f_W = R_frame @ f_local
+    (reference friction_cone.cpp:86-95)."""
+    m, sol, _ = _solve()
+    contacts = _setup()[1]
+    mu = 0.7
+    for i in range(sol.q.shape[0] - 1):
+        Rw, pw = forward_kinematics(m, sol.q[i])
+        for c, foot in enumerate(FEET):
+            Rf, _ = frame_placement(m, contacts.frame_ids[c], Rw, pw)
+            fW = np.array(Rf @ sol.f[i, 3 * c:3 * c + 3])
+            assert fW[2] > 0
+            assert abs(fW[0]) <= mu / np.sqrt(2) * fW[2] + 1e-6
+            assert abs(fW[1]) <= mu / np.sqrt(2) * fW[2] + 1e-6
+
+
+def test_dynamics_feasible_at_solution():
+    from robotoc_tpu.models import rnea
+    from robotoc_tpu.models.contacts import (baumgarte_residual,
+                                             contact_forces_to_joint)
+    m, sol, _ = _solve()
+    contacts = _setup()[1]
+    grid = _setup()[3]
+    fj = jax.vmap(lambda f: contact_forces_to_joint(m, contacts, f))(
+        sol.f[:-1])
+    ID = rnea(m, sol.q[:-1], sol.v[:-1], sol.a[:-1], fj)
+    # passive rows zero, actuated rows equal u
+    np.testing.assert_allclose(ID[:, :6], 0.0, atol=1e-7)
+    np.testing.assert_allclose(ID[:, 6:], sol.u[:-1], atol=1e-7)
+    # Baumgarte contact constraint satisfied
+    C = jax.vmap(lambda q, v, a, p: baumgarte_residual(
+        m, contacts, q, v, a, p))(sol.q[:-1], sol.v[:-1], sol.a[:-1],
+                                  grid.p_ref[:-1])
+    np.testing.assert_allclose(C, 0.0, atol=1e-7)

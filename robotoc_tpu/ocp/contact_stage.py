@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..constraints import friction_cone as fc
 from ..constraints import joint_limits as jl
 from ..constraints import pdipm
-from ..costs import config_cost as cc
+from ..costs import base as cost_base
 from ..dynamics import state_equation as se
 from ..dynamics.contact_dynamics import mjtj_inverse, ty_solve
 from ..models import contacts as ct
@@ -66,11 +66,12 @@ class StageBlocks(NamedTuple):
     dual_feas: jnp.ndarray
 
 
-def stage_eval(model, contacts, cost, limits, dt, barrier,
+def stage_eval(model, contacts, costs, limits, t, dt, barrier,
                q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
                q_n, v_n, s_lim, z_lim, s_cone, z_cone,
                cmask, p_ref, fric):
-    """One intermediate grid. cmask: (nc,) activity; p_ref: (nc, 3)."""
+    """One intermediate grid. costs: tuple of cost components
+    (costs/base.py); cmask: (nc,) activity; p_ref: (nc, 3)."""
     nv, nu_dim = model.nv, model.dimu
     nf = 3 * contacts.n_contacts
     dtype = q.dtype
@@ -94,10 +95,11 @@ def stage_eval(model, contacts, cost, limits, dt, barrier,
     J = J * rowmask[:, None]
 
     # ---- cost ----------------------------------------------------------
-    c, lq_c, lv_c, la_c, lu_c, Wq, Wv, Wa, Wu = cc.quadratize_stage(
-        model, cost, q, v, a, u, dt)
-    lf_c = jnp.zeros(nf, dtype)                     # force cost hook
-    Wf = jnp.zeros((nf, nf), dtype)
+    quad = cost_base.quadratize_stage(costs, model, nf, q, v, a, u, f, t,
+                                      dt)
+    c, lq_c, lv_c, la_c, lu_c, lf_c = (quad.cost, quad.lq, quad.lv,
+                                       quad.la, quad.lu, quad.lf)
+    Wq, Wv, Wa, Wu, Wf = quad.Qqq, quad.Qvv, quad.Qaa, quad.Quu, quad.Qff
 
     # ---- inequality constraints (PDIPM) --------------------------------
     e_lim = jl.constraint_values(model, limits, q, v, u)

@@ -1,0 +1,186 @@
+"""Impact stage: impulse dynamics + impact-velocity constraint, condensed.
+
+Reference: src/ocp/impact_stage.cpp + src/dynamics/impact_dynamics.cpp:8-97 +
+impact_state_equation.cpp. At an impact slot (zero time duration):
+
+  primal: (q, v) pre-impact, dv impulse velocity change, Lambda impulse
+  forces (stored in the a / f slots of the solution);
+  impulse dynamics:  RNEAImpact(q, dv) - J_i^T Lambda = 0      (dual beta)
+  impact velocity:   v_imp(q, v + dv) = 0 on impacting contacts (dual mu)
+  state equation:    q' = q (Lie residual),  v' = v + dv
+  impact cost:       quadratize_impact of the cost container
+  impact friction cone on Lambda (PDIPM, shares the cone slack storage).
+
+A slot whose impact mask is all-zero degenerates to an identity pass-through
+grid (dv, Lambda driven to zero; A = I) — this is how a STATIC number of
+reserved event slots absorbs a varying number of events without shape
+changes (replacing the reference's dynamic grid insertion,
+time_discretization.cpp:44).
+
+The LQR sees B = 0, Quu = I (dummy control), so the backward sweep stays
+uniform across slot types on the TPU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import friction_cone as fc
+from ..constraints import pdipm
+from ..costs import base as cost_base
+from ..dynamics import state_equation as se
+from ..dynamics.contact_dynamics import mjtj_inverse, ty_solve
+from ..models import contacts as ct
+from ..models import robot as rm
+from .contact_stage import StageBlocks
+
+
+def stage_eval(model, contacts, costs, limits, t, dt, barrier,
+               q, v, dv, u, lam, beta, mu, lmd, gmm, lmd_n, gmm_n,
+               q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+               imp_mask, p_ref, fric):
+    """Impact variant of a superstage. dv/lam live in the a/f storage.
+    imp_mask: (nc,) contacts becoming active at this impact."""
+    nv, nu_dim = model.nv, model.dimu
+    nf = 3 * contacts.n_contacts
+    dtype = q.dtype
+    rowmask = jnp.repeat(imp_mask, 3)
+    cone_mask = jnp.repeat(imp_mask, 5).astype(bool)
+
+    # ---- impulse dynamics ---------------------------------------------
+    lam_eff = lam * rowmask
+    f_joint = ct.contact_forces_to_joint(model, contacts, lam_eff)
+    ID_res = rm.rnea_impact(model, q, dv, f_joint)
+    dIDdq, M = rm.rnea_impact_derivatives(model, q, dv, f_joint)
+
+    # ---- impact velocity constraint (post-impact v+dv) ----------------
+    vpost = v + dv
+    C_res = ct.impact_velocity_residual(model, contacts, q, vpost)
+    dCdq, J = ct.impact_velocity_derivatives(model, contacts, q, vpost)
+    C_res = C_res * rowmask
+    dCdq = dCdq * rowmask[:, None]
+    J = J * rowmask[:, None]          # d/d(dv) = d/dv
+
+    # ---- impact cost ---------------------------------------------------
+    quad = cost_base.quadratize_impact(costs, model, q, v, dv, t)
+    c, lq_c, lv_c, ldv_c = quad.cost, quad.lq, quad.lv, quad.ldv
+    Wq, Wv, Wdv = quad.Qqq, quad.Qvv, quad.Qdvdv
+    lf_c = jnp.zeros(nf, dtype)
+    Wf = jnp.zeros((nf, nf), dtype)
+
+    # ---- impact friction cone on Lambda -------------------------------
+    g_cone, dgdf, dgdq = fc.residual_and_jac(model, contacts, q, lam_eff,
+                                             fric)
+    d_cone = pdipm.condensing_diag(s_cone, z_cone, cone_mask)
+    r_cone = pdipm.condensing_rhs(g_cone, s_cone, z_cone, barrier, cone_mask)
+    zr = jnp.where(cone_mask, z_cone, 0.0) + r_cone
+    cone_gq = dgdq.T @ zr
+    cone_gf = dgdf.T @ zr
+    cone_Hqq = dgdq.T @ (d_cone[:, None] * dgdq)
+    cone_Hqf = dgdq.T @ (d_cone[:, None] * dgdf)
+    cone_Hff = dgdf.T @ (d_cone[:, None] * dgdf)
+
+    # ---- state equation (dt = 0): q' = q, v' = v + dv ------------------
+    Aqq, _, xres_q = se.linearize(model, q, jnp.zeros_like(v),
+                                  jnp.zeros((), dtype), q_n)
+    Fv_res = vpost - v_n
+
+    # ---- condensing of (ddv, dLambda) ----------------------------------
+    inactive = 1.0 - rowmask
+    inv11, inv12, Sinv = mjtj_inverse(M, J, inactive)
+    # rows: impulse: M ddv - J^T dlam = -(dIDdq dq + ID_res)
+    #       vel:     J ddv = -(dCdq dq + J dvv... note d/dv = J) etc.
+    Tw1 = jnp.concatenate([dIDdq, jnp.zeros((nv, nv), dtype),
+                           jnp.zeros((nv, nu_dim), dtype)], axis=1)
+    Tw2 = jnp.concatenate([dCdq, J, jnp.zeros((nf, nu_dim), dtype)], axis=1)
+    X1, X2 = ty_solve(inv11, inv12, Sinv, Tw1, Tw2)
+    e2 = jnp.where(rowmask > 0, C_res, lam)
+    x1_0, x2_0 = ty_solve(inv11, inv12, Sinv, ID_res, e2)
+    G = jnp.concatenate([-X1, X2], axis=0)
+    c0 = jnp.concatenate([-x1_0, x2_0], axis=0)
+
+    # ---- condensed quadratic over w = (dq, dv, du) ----------------------
+    w_dim = 2 * nv + nu_dim
+    Hw = jnp.zeros((w_dim, w_dim), dtype)
+    Hw = Hw.at[:nv, :nv].set(Wq + cone_Hqq)
+    Hw = Hw.at[nv:2 * nv, nv:2 * nv].set(Wv)
+    gw = jnp.concatenate([lq_c + cone_gq, lv_c,
+                          jnp.zeros(nu_dim, dtype)])
+    Hy = jnp.zeros((nv + nf, nv + nf), dtype)
+    Hy = Hy.at[:nv, :nv].set(Wdv)
+    Hy = Hy.at[nv:, nv:].set(Wf + cone_Hff)
+    gy = jnp.concatenate([ldv_c, lf_c + cone_gf])
+    Cwy = jnp.zeros((w_dim, nv + nf), dtype)
+    Cwy = Cwy.at[:nv, nv:].set(cone_Hqf)
+
+    Htil = Hw + Cwy @ G + G.T @ Cwy.T + G.T @ Hy @ G
+    gtil = gw + Cwy @ c0 + G.T @ (Hy @ c0 + gy)
+
+    ddv_dw, ddv_0 = -X1, -x1_0
+    A = jnp.zeros((2 * nv, 2 * nv), dtype)
+    A = A.at[:nv, :nv].set(Aqq)
+    A = A.at[nv:, :nv].set(ddv_dw[:, :nv])
+    A = A.at[nv:, nv:].set(jnp.eye(nv, dtype=dtype) + ddv_dw[:, nv:2 * nv])
+    B = jnp.zeros((2 * nv, nu_dim), dtype)
+    xres = jnp.concatenate([xres_q, Fv_res + ddv_0])
+    Qxx = Htil[:2 * nv, :2 * nv]
+    Qxu = jnp.zeros((2 * nv, nu_dim), dtype)
+    Quu = jnp.eye(nu_dim, dtype=dtype)       # dummy control
+    lam_cost = jnp.concatenate([lmd_n, gmm_n])
+    lx = gtil[:2 * nv] + A.T @ lam_cost - jnp.concatenate([lmd, gmm])
+    lu = jnp.zeros(nu_dim, dtype)
+
+    # ---- full KKT residuals --------------------------------------------
+    lq_full = (lq_c + dgdq.T @ jnp.where(cone_mask, z_cone, 0.0)
+               + dIDdq.T @ beta + dCdq.T @ mu + Aqq.T @ lmd_n - lmd)
+    lv_full = lv_c + J.T @ mu + gmm_n - gmm
+    ldv_full = ldv_c + M.T @ beta + J.T @ mu + gmm_n
+    lf_full = (lf_c + dgdf.T @ jnp.where(cone_mask, z_cone, 0.0)
+               - J @ beta) * rowmask
+    r_cone_p = pdipm.residual(g_cone, s_cone, cone_mask)
+    c_cone = pdipm.complementarity(s_cone, z_cone, barrier, cone_mask)
+    kkt_sq = (jnp.sum(xres_q**2) + jnp.sum(Fv_res**2) + jnp.sum(ID_res**2)
+              + jnp.sum(C_res**2) + jnp.sum(lq_full**2)
+              + jnp.sum(lv_full**2) + jnp.sum(ldv_full**2)
+              + jnp.sum(lf_full**2)
+              + jnp.sum(r_cone_p**2) + jnp.sum(c_cone**2))
+    barrier_cost = pdipm.log_barrier(s_cone, barrier, cone_mask)
+    prim = (jnp.sum(jnp.abs(xres_q)) + jnp.sum(jnp.abs(Fv_res))
+            + jnp.sum(jnp.abs(ID_res)) + jnp.sum(jnp.abs(C_res))
+            + jnp.sum(jnp.abs(r_cone_p)))
+    dual = jnp.sum(jnp.abs(c_cone))
+
+    e_lim_dummy = jnp.zeros_like(s_lim)   # joint limits off at impact slots
+    return StageBlocks(A=A, B=B, xres=xres, Qxx=Qxx, Qxu=Qxu, Quu=Quu,
+                       lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
+                       Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
+                       e_lim=e_lim_dummy, e_cone=g_cone,
+                       kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
+                       prim_feas=prim, dual_feas=dual)
+
+
+def expand(model, contacts, barrier, blocks: StageBlocks,
+           dq, dv_dir, gmm_n_new,
+           lam, beta, mu, s_cone, z_cone, imp_mask, fric, q):
+    """Recover (ddv, dLambda, dbeta, dmu, cone slack/dual dirs)."""
+    nv = model.nv
+    rowmask = jnp.repeat(imp_mask, 3)
+    cone_mask = jnp.repeat(imp_mask, 5).astype(bool)
+    nu_dim = model.dimu
+    w = jnp.concatenate([dq, dv_dir, jnp.zeros(nu_dim, dq.dtype)])
+    y = blocks.G @ w + blocks.c0
+    ddv, dlam = y[:nv], y[nv:]
+    gy_new = blocks.Hy @ y + blocks.Cwy.T @ w + blocks.gy
+    ga = gy_new[:nv] + gmm_n_new          # dv-row carries gmm' (dt-free)
+    gf = gy_new[nv:]
+    rhs2 = jnp.where(rowmask > 0, gf, 0.0)
+    beta_new, mu_new = ty_solve(blocks.inv11, blocks.inv12, blocks.Sinv,
+                                -ga, rhs2)
+    dbeta = beta_new - beta
+    dmu = mu_new - mu
+    _, dgdf, dgdq = fc.residual_and_jac(model, contacts, q,
+                                        lam * rowmask, fric)
+    de_cone = dgdq @ dq + dgdf @ (dlam * rowmask)
+    ds_cone, dz_cone = pdipm.expand_slack_dual(
+        blocks.e_cone, s_cone, z_cone, barrier, de_cone, cone_mask)
+    return ddv, dlam, dbeta, dmu, ds_cone, dz_cone

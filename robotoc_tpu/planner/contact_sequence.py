@@ -76,35 +76,77 @@ class ContactSchedule:
 
 @struct.dataclass
 class GridData:
-    """Per-grid arrays consumed by the jitted stage pipeline."""
-    dt: jnp.ndarray            # (N,)
-    t: jnp.ndarray             # (N+1,)
-    contact_mask: jnp.ndarray  # (N+1, nc) 1.0/0.0
-    p_ref: jnp.ndarray         # (N+1, nc, 3)
-    friction: jnp.ndarray      # (N+1, nc)
-    impact_mask: jnp.ndarray   # (N+1,) 1.0 where an impact event grid
+    """Per-slot arrays consumed by the jitted stage pipeline.
+
+    S = N + 1 + n_reserved slots; the last slot is terminal. Impact events
+    occupy reserved slots (dt = 0, is_impact = 1); unused reserved slots are
+    identity pass-throughs (is_impact = 1, empty imp_mask) — a STATIC slot
+    count absorbs a varying number of events (vs the reference's dynamic
+    grid insertion, time_discretization.cpp:44)."""
+    dt: jnp.ndarray            # (S-1,) step to the next slot (0 at impacts)
+    t: jnp.ndarray             # (S,)
+    contact_mask: jnp.ndarray  # (S, nc) 1.0/0.0
+    p_ref: jnp.ndarray         # (S, nc, 3)
+    friction: jnp.ndarray      # (S, nc)
+    is_impact: jnp.ndarray     # (S,) 1.0 on impact/pass-through slots
+    imp_mask: jnp.ndarray      # (S, nc) newly-active contacts at the slot
+
+    @property
+    def n_slots(self):
+        return self.t.shape[-1]
 
 
 def discretize(schedule: ContactSchedule, t0: float, T: float, N: int,
-               dtype=jnp.float64) -> GridData:
+               n_reserved: int = 0, dtype=jnp.float64) -> GridData:
+    """Build the slot arrays. Event times are quantized to the uniform grid
+    boundaries (exact for the standard gaits whose phase durations are
+    multiples of dt)."""
     dt = T / N
-    ts = t0 + dt * np.arange(N + 1)
-    mask = np.zeros((N + 1, schedule.nc))
-    p_ref = np.zeros((N + 1, schedule.nc, 3))
-    fric = np.zeros((N + 1, schedule.nc))
-    impact = np.zeros(N + 1)
-    for i, t in enumerate(ts):
-        ph = schedule.phase_at(t + 1e-12)
-        mask[i] = ph.active.astype(float)
-        p_ref[i] = ph.placements
-        fric[i] = ph.friction
-    # flag grids right after an impact event
+    nc = schedule.nc
+    # impact boundaries: boundary index -> newly active mask
+    impacts = {}
     for k, p in enumerate(schedule.phases[1:]):
-        if schedule.event_is_impact[k] and t0 <= p.start_time <= t0 + T:
-            idx = int(np.ceil((p.start_time - t0) / dt - 1e-12))
-            if 0 <= idx <= N:
-                impact[idx] = 1.0
-    arr = lambda x: jnp.asarray(x, dtype)
-    return GridData(dt=arr(np.full(N, dt)), t=arr(ts),
-                    contact_mask=arr(mask), p_ref=arr(p_ref),
-                    friction=arr(fric), impact_mask=arr(impact))
+        if schedule.event_is_impact[k] and t0 < p.start_time <= t0 + T + 1e-9:
+            b = int(round((p.start_time - t0) / dt))
+            b = min(max(b, 1), N)
+            prev = schedule.phases[k].active
+            newly = p.active & ~prev
+            impacts[b] = impacts.get(b, np.zeros(nc, bool)) | newly
+    if len(impacts) > n_reserved:
+        raise ValueError(
+            f"{len(impacts)} impact events in horizon but only "
+            f"{n_reserved} reserved slots")
+
+    rows = []   # (t, dt, active, p_ref, fric, is_impact, imp_mask)
+
+    def status(t):
+        ph = schedule.phase_at(t + 1e-12)
+        return ph.active.astype(float), ph.placements, ph.friction
+
+    for k in range(N):
+        tk = t0 + k * dt
+        if k in impacts:
+            a, p, f = status(tk)
+            rows.append((tk, 0.0, a, p, f, 1.0,
+                         impacts[k].astype(float)))
+        a, p, f = status(tk)
+        rows.append((tk, dt, a, p, f, 0.0, np.zeros(nc)))
+    # unused reserved slots: identity pass-throughs before terminal
+    for _ in range(n_reserved - len(impacts)):
+        a, p, f = status(t0 + T)
+        rows.append((t0 + T, 0.0, a, p, f, 1.0, np.zeros(nc)))
+    if N in impacts:
+        a, p, f = status(t0 + T)
+        rows.append((t0 + T, 0.0, a, p, f, 1.0, impacts[N].astype(float)))
+    a, p, f = status(t0 + T)
+    rows.append((t0 + T, 0.0, a, p, f, 0.0, np.zeros(nc)))  # terminal
+
+    arr = lambda x: jnp.asarray(np.asarray(x), dtype)
+    return GridData(
+        dt=arr([r[1] for r in rows[:-1]]),
+        t=arr([r[0] for r in rows]),
+        contact_mask=arr([r[2] for r in rows]),
+        p_ref=arr([r[3] for r in rows]),
+        friction=arr([r[4] for r in rows]),
+        is_impact=arr([r[5] for r in rows]),
+        imp_mask=arr([r[6] for r in rows]))

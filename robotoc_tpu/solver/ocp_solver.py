@@ -24,10 +24,11 @@ from ..constraints import friction_cone as fc
 from ..constraints import joint_limits as jl
 from ..constraints import pdipm
 from ..core.structs import LQRData
-from ..costs import config_cost as cc
+from ..costs import base as cost_base
 from ..models import contacts as ct
 from ..models import robot as rm
 from ..ocp import contact_stage as stage
+from ..ocp import impact_stage as istage
 from ..planner.contact_sequence import GridData
 from ..riccati import lqr
 
@@ -62,33 +63,38 @@ class SolverOptions:
 
 class OCPSolver:
     def __init__(self, model: rm.RobotModel, contacts: ct.ContactModel,
-                 cost: cc.ConfigurationSpaceCost,
+                 costs,
                  limits: Optional[jl.JointLimits], T: float, N: int,
-                 options: SolverOptions = SolverOptions()):
+                 options: SolverOptions = SolverOptions(),
+                 n_reserved_events: int = 0):
         self.model = model
         self.contacts = contacts
-        self.cost = cost
+        self.costs = tuple(costs) if isinstance(
+            costs, (tuple, list)) else (costs,)
         self.limits = limits if limits is not None \
             else jl.make_joint_limits(model)
         self.T, self.N = float(T), int(N)
+        self.n_reserved_events = int(n_reserved_events)
+        self.n_slots = self.N + 1 + self.n_reserved_events
         self.options = options
+        ei = self.n_reserved_events > 0
         self._solve = jax.jit(functools.partial(
-            _solve, model, contacts, self.cost, self.limits,
+            _solve, model, contacts, self.costs, self.limits,
             options.max_iter, options.kkt_tol, options.barrier,
-            options.fraction_to_boundary_rule))
+            options.fraction_to_boundary_rule, ei))
         self._update = jax.jit(functools.partial(
-            _update, model, contacts, self.cost, self.limits,
-            options.barrier, options.fraction_to_boundary_rule))
+            _update, model, contacts, self.costs, self.limits,
+            options.barrier, options.fraction_to_boundary_rule, ei))
         self._kkt_error = jax.jit(functools.partial(
-            _kkt_error, model, contacts, self.cost, self.limits,
-            options.barrier))
+            _kkt_error, model, contacts, self.costs, self.limits,
+            options.barrier, ei))
 
     def init_solution(self, grid: GridData, q, v,
                       f_init: Optional[jnp.ndarray] = None) -> Solution:
         """Warm start: constant (q, v), forces distributing the weight over
         active contacts (reference mpc_* init pattern)."""
         m = self.model
-        n1 = self.N + 1
+        n1 = self.n_slots
         nf = 3 * self.contacts.n_contacts
         dtype = m.dtype
         q = jnp.broadcast_to(jnp.asarray(q, dtype), (n1, m.nq))
@@ -103,7 +109,7 @@ class OCPSolver:
                 f_init = f_init.at[:, 3 * c + 2].set(
                     fz * grid.contact_mask[:, c])
         e_lim = jl.constraint_values(self.model, self.limits, q[:-1], v[:-1],
-                                     jnp.zeros((self.N, m.dimu), dtype))
+                                     jnp.zeros((n1 - 1, m.dimu), dtype))
         s_lim, z_lim = pdipm.init_slack_dual(e_lim, self.options.barrier,
                                              self.limits.mask)
         cone_mask = jnp.repeat(grid.contact_mask[:-1], 5, axis=1) > 0
@@ -139,22 +145,39 @@ class OCPSolver:
 
 # ---------------------------------------------------------------------------
 
-def _build(model, contacts, cost, limits, barrier, sol: Solution,
-           grid: GridData, q_init, v_init):
+def _build(model, contacts, costs, limits, barrier, enable_impacts,
+           sol: Solution, grid: GridData, q_init, v_init):
     dt = grid.dt
     fn = jax.vmap(functools.partial(
-        stage.stage_eval, model, contacts, cost, limits))
-    blocks = fn(dt, jnp.full_like(dt, barrier),
+        stage.stage_eval, model, contacts, costs, limits))
+    blocks = fn(grid.t[:-1], dt, jnp.full_like(dt, barrier),
                 sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.f[:-1],
                 sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1], sol.gmm[:-1],
                 sol.lmd[1:], sol.gmm[1:], sol.q[1:], sol.v[1:],
                 sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
                 grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1])
-    cN, lqN, lvN, WqN, WvN = cc.quadratize_terminal(
-        model, cost, sol.q[-1], sol.v[-1])
-    lxN = jnp.concatenate([lqN - sol.lmd[-1], lvN - sol.gmm[-1]])
-    zb = jnp.zeros_like(WqN)
-    QxxN = jnp.block([[WqN, zb], [zb, WvN]])
+    if enable_impacts:
+        ifn = jax.vmap(functools.partial(
+            istage.stage_eval, model, contacts, costs, limits))
+        iblocks = ifn(grid.t[:-1], dt, jnp.full_like(dt, barrier),
+                      sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1],
+                      sol.f[:-1], sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1],
+                      sol.gmm[:-1], sol.lmd[1:], sol.gmm[1:],
+                      sol.q[1:], sol.v[1:],
+                      sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
+                      grid.imp_mask[:-1], grid.p_ref[:-1],
+                      grid.friction[:-1])
+        flag = grid.is_impact[:-1]
+        blocks = jax.tree.map(
+            lambda a, b: jnp.where(
+                flag.reshape((-1,) + (1,) * (a.ndim - 1)) > 0, a, b),
+            iblocks, blocks)
+    tq = cost_base.quadratize_terminal(costs, model, sol.q[-1],
+                                       sol.v[-1], grid.t[-1])
+    cN = tq.cost
+    lxN = jnp.concatenate([tq.lq - sol.lmd[-1], tq.lv - sol.gmm[-1]])
+    zb = jnp.zeros_like(tq.Qqq)
+    QxxN = jnp.block([[tq.Qqq, zb], [zb, tq.Qvv]])
     data = LQRData(A=blocks.A, B=blocks.B, xres=blocks.xres,
                    Qxx=blocks.Qxx, Qxu=blocks.Qxu, Quu=blocks.Quu,
                    lx=blocks.lx, lu=blocks.lu, Qxx_N=QxxN, lx_N=lxN)
@@ -165,10 +188,11 @@ def _build(model, contacts, cost, limits, barrier, sol: Solution,
     return data, blocks, dx0, kkt_sq, total_cost
 
 
-def _update(model, contacts, cost, limits, barrier, ftb, sol: Solution,
-            grid: GridData, q_init, v_init):
-    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, cost, limits,
-                                          barrier, sol, grid, q_init, v_init)
+def _update(model, contacts, costs, limits, barrier, ftb, enable_impacts,
+            sol: Solution, grid: GridData, q_init, v_init):
+    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, costs, limits,
+                                          barrier, enable_impacts, sol,
+                                          grid, q_init, v_init)
     dx, du, dlmd_all, _ = lqr.solve(data, dx0)
     nv = model.nv
     dq, dv = dx[:-1, :nv], dx[:-1, nv:]
@@ -181,6 +205,31 @@ def _update(model, contacts, cost, limits, barrier, ftb, sol: Solution,
         sol.f[:-1], sol.beta[:-1], sol.mu[:-1],
         sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
         grid.contact_mask[:-1], grid.friction[:-1], sol.q[:-1])
+    if enable_impacts:
+        iexp = jax.vmap(functools.partial(
+            istage.expand, model, contacts, barrier))
+        (ida, idf, idbeta, idmu, ids_cone, idz_cone) = iexp(
+            blocks, dq, dv, sol.gmm[1:] + dgmm[1:],
+            sol.f[:-1], sol.beta[:-1], sol.mu[:-1],
+            sol.s_cone, sol.z_cone, grid.imp_mask[:-1],
+            grid.friction[:-1], sol.q[:-1])
+        flag = grid.is_impact[:-1]
+
+        def sel(a, b):
+            return jnp.where(
+                flag.reshape((-1,) + (1,) * (a.ndim - 1)) > 0, a, b)
+
+        da = sel(ida, da)
+        df = sel(idf, df)
+        dbeta = sel(idbeta, dbeta)
+        dmu = sel(idmu, dmu)
+        ds_cone = sel(ids_cone, ds_cone)
+        dz_cone = sel(idz_cone, dz_cone)
+        du = sel(jnp.zeros_like(du), du)
+        ds_lim = sel(jnp.zeros_like(ds_lim), ds_lim)
+        dz_lim = sel(jnp.zeros_like(dz_lim), dz_lim)
+        cone_mask = cone_mask | (jnp.repeat(
+            grid.imp_mask[:-1], 5, axis=1) > 0)
     a_p = jnp.minimum(
         pdipm.fraction_to_boundary(sol.s_lim, ds_lim, ftb, limits.mask),
         pdipm.fraction_to_boundary(sol.s_cone, ds_cone, ftb, cone_mask))
@@ -210,29 +259,29 @@ def _update(model, contacts, cost, limits, barrier, ftb, sol: Solution,
     return new, jnp.sqrt(kkt_sq), a_p
 
 
-def _kkt_error(model, contacts, cost, limits, barrier, sol, grid,
-               q_init, v_init):
-    _, _, _, kkt_sq, _ = _build(model, contacts, cost, limits, barrier,
-                                sol, grid, q_init, v_init)
+def _kkt_error(model, contacts, costs, limits, barrier, enable_impacts,
+               sol, grid, q_init, v_init):
+    _, _, _, kkt_sq, _ = _build(model, contacts, costs, limits, barrier,
+                                enable_impacts, sol, grid, q_init, v_init)
     return jnp.sqrt(kkt_sq)
 
 
-def _solve(model, contacts, cost, limits, max_iter, kkt_tol, barrier, ftb,
-           sol, grid, q_init, v_init):
+def _solve(model, contacts, costs, limits, max_iter, kkt_tol, barrier, ftb,
+           enable_impacts, sol, grid, q_init, v_init):
     def cond(state):
         _, it, kkt, _ = state
         return (it < max_iter) & (kkt > kkt_tol)
 
     def body(state):
         s, it, _, _ = state
-        new, _, alpha = _update(model, contacts, cost, limits, barrier, ftb,
-                                s, grid, q_init, v_init)
-        kkt = _kkt_error(model, contacts, cost, limits, barrier, new, grid,
-                         q_init, v_init)
+        new, _, alpha = _update(model, contacts, costs, limits, barrier, ftb,
+                                enable_impacts, s, grid, q_init, v_init)
+        kkt = _kkt_error(model, contacts, costs, limits, barrier,
+                         enable_impacts, new, grid, q_init, v_init)
         return new, it + 1, kkt, alpha
 
-    kkt0 = _kkt_error(model, contacts, cost, limits, barrier, sol, grid,
-                      q_init, v_init)
+    kkt0 = _kkt_error(model, contacts, costs, limits, barrier,
+                      enable_impacts, sol, grid, q_init, v_init)
     one = jnp.asarray(1.0, sol.q.dtype)
     sol, iters, kkt, alpha = jax.lax.while_loop(
         cond, body, (sol, jnp.asarray(0), kkt0, one))

@@ -37,11 +37,11 @@ def _setup(N=4):
          for f in FEET])
     sched = ContactSchedule(nc=4).init([True] * 4, placements)
     grid = discretize(sched, 0.0, 0.025 * N, N)
-    solver = OS.OCPSolver(m, contacts, cost, lim, T=0.025 * N, N=N)
-    upd = jax.jit(functools.partial(OS._update, m, contacts, cost, lim,
-                                    1e-3, 0.995))
-    ke = jax.jit(functools.partial(OS._kkt_error, m, contacts, cost, lim,
-                                   1e-3))
+    solver = OS.OCPSolver(m, contacts, (cost,), lim, T=0.025 * N, N=N)
+    upd = jax.jit(functools.partial(OS._update, m, contacts, (cost,), lim,
+                                    1e-3, 0.995, False))
+    ke = jax.jit(functools.partial(OS._kkt_error, m, contacts, (cost,), lim,
+                                   1e-3, False))
     return m, contacts, solver, grid, upd, ke
 
 

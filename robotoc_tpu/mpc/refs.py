@@ -1,0 +1,61 @@
+"""Jit-safe step-indexed MPC references (planner-synchronized).
+
+Re-expression of the reference's MPCPeriodicSwingFootRef / MPCPeriodicCoMRef
+(reference: src/mpc/mpc_periodic_swing_foot_ref.cpp,
+mpc_periodic_com_ref.cpp): instead of virtual update_ref objects, these are
+pytree components holding per-step ARRAYS (static K slots) that the MPC layer
+refreshes each update — values change, shapes don't, so the jitted solver
+never recompiles.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class StepSwingFootRef:
+    """Swing trajectory for ONE foot across its K planned swings: linear
+    x/y advance from x_prev[k] to x_next[k] plus a sin^2 height bell."""
+    x_prev: jnp.ndarray      # (K, 3)
+    x_next: jnp.ndarray      # (K, 3)
+    t_start: jnp.ndarray     # (K,) swing start times (sorted)
+    swing_time: jnp.ndarray  # scalar
+    step_height: jnp.ndarray
+    valid: jnp.ndarray       # (K,) 1.0 where the slot holds a real swing
+
+    def __call__(self, t):
+        k = jnp.clip(jnp.searchsorted(self.t_start, t, side="right") - 1,
+                     0, self.t_start.shape[0] - 1)
+        tau = t - self.t_start[k]
+        in_swing = (tau >= 0.0) & (tau <= self.swing_time) & \
+            (self.valid[k] > 0)
+        phase = jnp.clip(tau / self.swing_time, 0.0, 1.0)
+        pos = self.x_prev[k] + phase * (self.x_next[k] - self.x_prev[k])
+        z = self.step_height * jnp.sin(jnp.pi * phase) ** 2
+        pos = pos.at[2].add(z)
+        return pos, jnp.where(in_swing, 1.0, 0.0).astype(pos.dtype)
+
+
+@struct.dataclass
+class StepCoMRef:
+    """CoM reference interpolating planner step CoMs: lerp during each swing
+    window, hold otherwise."""
+    com_steps: jnp.ndarray   # (K+1, 3) CoM after k steps (0 = current)
+    t_start: jnp.ndarray     # (K,) swing start times
+    swing_time: jnp.ndarray
+    valid: jnp.ndarray       # (K,)
+
+    def __call__(self, t):
+        K = self.t_start.shape[0]
+        k = jnp.clip(jnp.searchsorted(self.t_start, t, side="right") - 1,
+                     0, K - 1)
+        tau = t - self.t_start[k]
+        phase = jnp.clip(tau / self.swing_time, 0.0, 1.0)
+        before_first = t < self.t_start[0]
+        base = self.com_steps[k]
+        target = self.com_steps[k + 1]
+        pos = jnp.where(before_first, self.com_steps[0],
+                        base + phase * (target - base))
+        active = jnp.where(self.valid[k] > 0, 1.0, 1.0)
+        return pos, jnp.asarray(1.0, pos.dtype)

@@ -61,10 +61,14 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     dCdq = dCdq * rowmask[:, None]
     J = J * rowmask[:, None]          # d/d(dv) = d/dv
 
-    # ---- impact cost ---------------------------------------------------
+    # ---- impact cost (only on slots carrying a REAL impact: unused
+    # reserved slots must be pure identity pass-throughs) ----------------
+    has_imp = jnp.max(imp_mask)
     quad = cost_base.quadratize_impact(costs, model, q, v, dv, t)
-    c, lq_c, lv_c, ldv_c = quad.cost, quad.lq, quad.lv, quad.ldv
-    Wq, Wv, Wdv = quad.Qqq, quad.Qvv, quad.Qdvdv
+    c, lq_c, lv_c, ldv_c = (has_imp * quad.cost, has_imp * quad.lq,
+                            has_imp * quad.lv, has_imp * quad.ldv)
+    Wq, Wv, Wdv = (has_imp * quad.Qqq, has_imp * quad.Qvv,
+                   has_imp * quad.Qdvdv)
     lf_c = jnp.zeros(nf, dtype)
     Wf = jnp.zeros((nf, nf), dtype)
 

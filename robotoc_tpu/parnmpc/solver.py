@@ -1,0 +1,304 @@
+"""UnconstrParNMPCSolver: time-parallel backward-correction Newton method.
+
+TPU-native counterpart of the reference's ParNMPC pipeline
+(reference: src/parnmpc/unconstr_backward_correction.cpp:57-290,
+unconstr_split_backward_correction.cpp, unconstr_kkt_matrix_inverter.hxx;
+algorithm of Deng & Ohtsuka). Structure:
+
+  1. COARSE: every stage i independently inverts its local 5nv x 5nv KKT
+     block (with the next stage's auxiliary matrix approximating the tail
+     problem) — embarrassingly parallel; here ONE batched inverse on the MXU
+     instead of an OpenMP loop (reference :154-188).
+  2. Backward + forward CORRECTION sweeps restore the neighbor coupling —
+     cheap (2nv) mat-vecs, here lax.scans (reference :191-239).
+  3. Primal/dual expansion (u, beta, PDIPM pairs), fraction-to-boundary,
+     update — batched.
+
+Stage i owns grid i+1's variables z_i = (lmd, gmm, a, q, v) plus condensed
+(u, beta) and PDIPM pairs; x_prev of stage 0 is the measured state. Backward
+Euler coupling:  Fq_i = q_{i-1} + dt v_i - q_i,  Fv_i = v_{i-1} + dt a_i - v_i.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..constraints import joint_limits as jl
+from ..constraints import pdipm
+from ..costs import config_cost as cc
+from ..models import robot as rm
+
+
+@struct.dataclass
+class ParNMPCSolution:
+    q: jnp.ndarray        # (N, nq)    stage-owned grids 1..N
+    v: jnp.ndarray
+    a: jnp.ndarray
+    u: jnp.ndarray
+    lmd: jnp.ndarray
+    gmm: jnp.ndarray
+    beta: jnp.ndarray
+    slack: jnp.ndarray    # (N, dimc)
+    dual: jnp.ndarray
+    aux: jnp.ndarray      # (N, 2nv, 2nv) auxiliary matrices
+
+
+@struct.dataclass
+class SolverOptions:
+    max_iter: int = struct.field(pytree_node=False, default=100)
+    kkt_tol: float = struct.field(pytree_node=False, default=1e-7)
+    barrier: float = struct.field(pytree_node=False, default=1e-3)
+    fraction_to_boundary_rule: float = struct.field(
+        pytree_node=False, default=0.995)
+
+
+class UnconstrParNMPCSolver:
+    def __init__(self, model: rm.RobotModel, cost, limits, T: float, N: int,
+                 options: SolverOptions = SolverOptions()):
+        assert not model.floating_base
+        self.model = model
+        self.cost = cost
+        self.limits = limits if limits is not None else \
+            jl.make_joint_limits(model)
+        self.T, self.N = float(T), int(N)
+        self.dt = self.T / self.N
+        self.options = options
+        self._update = jax.jit(functools.partial(
+            _update, model, cost, self.limits, self.dt,
+            options.barrier, options.fraction_to_boundary_rule))
+        self._kkt_error = jax.jit(functools.partial(
+            _kkt_error, model, cost, self.limits, self.dt, options.barrier))
+
+    def init_solution(self, q, v) -> ParNMPCSolution:
+        m = self.model
+        N = self.N
+        dtype = m.dtype
+        q = jnp.broadcast_to(jnp.asarray(q, dtype), (N, m.nq))
+        v = jnp.broadcast_to(jnp.asarray(v, dtype), (N, m.nv))
+        z = jnp.zeros((N, m.nv), dtype)
+        e = jl.constraint_values(m, self.limits, q, v, z)
+        s0, z0 = pdipm.init_slack_dual(e, self.options.barrier,
+                                       self.limits.mask)
+        # terminal cost Hessian as initial aux matrices (reference :57-71)
+        _, _, _, Wq, Wv = cc.quadratize_terminal(m, self.cost, q[-1], v[-1])
+        zb = jnp.zeros_like(Wq)
+        aux0 = jnp.block([[Wq, zb], [zb, Wv]])
+        aux = jnp.broadcast_to(aux0, (N, 2 * m.nv, 2 * m.nv))
+        return ParNMPCSolution(q=q, v=v, a=z, u=z, lmd=z, gmm=z, beta=z,
+                               slack=s0, dual=z0, aux=aux)
+
+    def solve(self, q_init, v_init, sol=None, max_iter=None, tol=None):
+        if sol is None:
+            sol = self.init_solution(q_init, v_init)
+        q_init = jnp.asarray(q_init, self.model.dtype)
+        v_init = jnp.asarray(v_init, self.model.dtype)
+        max_iter = max_iter or self.options.max_iter
+        tol = tol or self.options.kkt_tol
+        kkt = float(self._kkt_error(sol, q_init, v_init))
+        it = 0
+        while it < max_iter and kkt > tol:
+            sol, kkt_arr, _ = self._update(sol, q_init, v_init)
+            kkt = float(self._kkt_error(sol, q_init, v_init))
+            it += 1
+        return sol, dict(iterations=it, kkt_error=kkt)
+
+
+# ---------------------------------------------------------------------------
+
+def _stage_terms(model, cost, limits, dt, barrier, sol, q_init, v_init):
+    """Batched per-stage KKT pieces (reference ParNMPC stage evalKKT)."""
+    N = sol.q.shape[0]
+    nv = model.nv
+    q_prev = jnp.concatenate([q_init[None], sol.q[:-1]], axis=0)
+    v_prev = jnp.concatenate([v_init[None], sol.v[:-1]], axis=0)
+    lmd_next = jnp.concatenate([sol.lmd[1:], jnp.zeros((1, nv),
+                                                       sol.q.dtype)], axis=0)
+    gmm_next = jnp.concatenate([sol.gmm[1:], jnp.zeros((1, nv),
+                                                       sol.q.dtype)], axis=0)
+    is_term = jnp.zeros(N, sol.q.dtype).at[-1].set(1.0)
+
+    def one(qp, vp, q, v, a, u, beta, lmd, gmm, lmd_n, gmm_n, s, z, term):
+        ID = rm.rnea(model, q, v, a)
+        e_id = ID - u
+        dIDdq, dIDdv, M = rm.rnea_derivatives(model, q, v, a)
+        c, lq_c, lv_c, la_c, lu_c, Wq, Wv, Wa, Wu = cc.quadratize_stage(
+            model, cost, q, v, a, u, dt)
+        cT, lqT, lvT, WqT, WvT = cc.quadratize_terminal(model, cost, q, v)
+        lq_c = lq_c + term * lqT
+        lv_c = lv_c + term * lvT
+        Wq = Wq + term * WqT
+        Wv = Wv + term * WvT
+        c = c + term * cT
+        e = jl.constraint_values(model, limits, q, v, u)
+        Hq_d, Hv_d, Hu_d, gq_cd, gv_cd, gu_cd = jl.condense(
+            model, limits, e, s, z, barrier)
+        zq, zv, zu = jl.dual_residual(model, limits, z)
+        Huu = jnp.diag(Wu) + Hu_d
+        gu0 = lu_c + zu + gu_cd
+        gID = gu0 + Huu * e_id
+        # condensed gradients (ParNMPC coupling: backward Euler)
+        la = la_c + M.T @ gID + dt * gmm
+        lq = lq_c + zq + gq_cd + dIDdq.T @ gID - lmd + lmd_n
+        lv = lv_c + zv + gv_cd + dIDdv.T @ gID + dt * lmd - gmm + gmm_n
+        Fq = qp + dt * v - q
+        Fv = vp + dt * a - v
+        # condensed Hessian blocks
+        HJ = Huu[:, None]
+        Qaa = Wa + M.T @ (HJ * M)
+        Qaq = M.T @ (HJ * dIDdq)
+        Qav = M.T @ (HJ * dIDdv)
+        Qqq = Wq + jnp.diag(Hq_d) + dIDdq.T @ (HJ * dIDdq)
+        Qqv = dIDdq.T @ (HJ * dIDdv)
+        Qvv = Wv + jnp.diag(Hv_d) + dIDdv.T @ (HJ * dIDdv)
+        # full KKT residual pieces (for the error norm)
+        lu_full = lu_c + zu - beta
+        la_full = la_c + M.T @ beta + dt * gmm
+        lq_full = lq_c + zq + dIDdq.T @ beta - lmd + lmd_n
+        lv_full = lv_c + zv + dIDdv.T @ beta + dt * lmd - gmm + gmm_n
+        r_lim = pdipm.residual(e, s, limits.mask)
+        c_lim = pdipm.complementarity(s, z, barrier, limits.mask)
+        kkt_sq = (jnp.sum(Fq**2) + jnp.sum(Fv**2) + jnp.sum(e_id**2)
+                  + jnp.sum(lq_full**2) + jnp.sum(lv_full**2)
+                  + jnp.sum(la_full**2) + jnp.sum(lu_full**2)
+                  + jnp.sum(r_lim**2) + jnp.sum(c_lim**2))
+        aux_pieces = dict(e_id=e_id, dIDdq=dIDdq, dIDdv=dIDdv, M=M,
+                          Huu=Huu, gu0=gu0, e=e)
+        return (Fq, Fv, la, lq, lv, Qaa, Qaq, Qav, Qqq, Qqv, Qvv,
+                kkt_sq, aux_pieces)
+
+    return jax.vmap(one)(q_prev, v_prev, sol.q, sol.v, sol.a, sol.u,
+                         sol.beta, sol.lmd, sol.gmm, lmd_next, gmm_next,
+                         sol.slack, sol.dual, is_term)
+
+
+def _kkt_error(model, cost, limits, dt, barrier, sol, q_init, v_init):
+    out = _stage_terms(model, cost, limits, dt, barrier, sol, q_init,
+                       v_init)
+    return jnp.sqrt(jnp.sum(out[11]))
+
+
+def _update(model, cost, limits, dt, barrier, ftb, sol: ParNMPCSolution,
+            q_init, v_init):
+    N = sol.q.shape[0]
+    nv = model.nv
+    dtype = sol.q.dtype
+    (Fq, Fv, la, lq, lv, Qaa, Qaq, Qav, Qqq, Qqv, Qvv, kkt_sq,
+     aux_p) = _stage_terms(model, cost, limits, dt, barrier, sol,
+                           q_init, v_init)
+
+    # aux of the NEXT stage added to Qxx (terminal stage: none)
+    aux_next = jnp.concatenate(
+        [sol.aux[1:], jnp.zeros((1, 2 * nv, 2 * nv), dtype)], axis=0)
+    Qqq = Qqq + aux_next[:, :nv, :nv]
+    Qqv = Qqv + aux_next[:, :nv, nv:]
+    Qvv = Qvv + aux_next[:, nv:, nv:]
+
+    # assemble per-stage KKT matrices (5nv x 5nv), batched inverse
+    def assemble(Qaa, Qaq, Qav, Qqq, Qqv, Qvv):
+        eye = jnp.eye(nv, dtype=dtype)
+        Z = jnp.zeros((nv, nv), dtype)
+        F = jnp.block([[Z, -eye, dt * eye],
+                       [dt * eye, Z, -eye]])           # (2nv, 3nv)
+        H = jnp.block([[Qaa, Qaq, Qav],
+                       [Qaq.T, Qqq, Qqv],
+                       [Qav.T, Qqv.T, Qvv]])
+        top = jnp.concatenate([jnp.zeros((2 * nv, 2 * nv), dtype), F],
+                              axis=1)
+        bot = jnp.concatenate([F.T, H], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    KKT = jax.vmap(assemble)(Qaa, Qaq, Qav, Qqq, Qqv, Qvv)
+    KKT_inv = jnp.linalg.inv(KKT)
+    res = jnp.concatenate([Fq, Fv, la, lq, lv], axis=1)    # (N, 5nv)
+    dz = jnp.einsum("nij,nj->ni", KKT_inv, res)
+    # coarse new iterate z_new = z - dz, z = (lmd, gmm, a, q, v)
+    lmd_new = sol.lmd - dz[:, :nv]
+    gmm_new = sol.gmm - dz[:, nv:2 * nv]
+    a_new = sol.a - dz[:, 2 * nv:3 * nv]
+    q_new = sol.q - dz[:, 3 * nv:4 * nv]
+    v_new = sol.v - dz[:, 4 * nv:]
+
+    # ---- backward correction (serial over stages, reference :191-199) --
+    inv_TR = KKT_inv[:, :2 * nv, 3 * nv:]      # (N, 2nv, 2nv) lmdgmm<-x
+    inv_BR = KKT_inv[:, 2 * nv:, 3 * nv:]      # (N, 3nv, 2nv)
+
+    def bwd(carry, inp):
+        lg_new_next, lg_next = carry
+        (invTR_i, lmd_i, gmm_i, lmdg_new_i) = inp
+        x_res = lg_new_next - lg_next
+        corr = invTR_i @ x_res
+        lmdg_corr = lmdg_new_i - corr
+        return (lmdg_corr, jnp.concatenate([lmd_i, gmm_i])), (lmdg_corr,
+                                                              x_res)
+
+    lg_new = jnp.concatenate([lmd_new, gmm_new], axis=1)
+    lg_cur = jnp.concatenate([sol.lmd, sol.gmm], axis=1)
+    carry0 = (lg_new[-1], lg_cur[-1])
+    (_, _), (lg_corr, x_res_b) = jax.lax.scan(
+        bwd, carry0,
+        (inv_TR[:-1], sol.lmd[:-1], sol.gmm[:-1], lg_new[:-1]),
+        reverse=True)
+    lg_new = jnp.concatenate([lg_corr, lg_new[-1:]], axis=0)
+    x_res_b_full = jnp.concatenate(
+        [x_res_b, jnp.zeros((1, 2 * nv), dtype)], axis=0)
+    # parallel part: correct (a, q, v) with the same x_res
+    corr_aqv = jnp.einsum("nij,nj->ni", inv_BR, x_res_b_full)
+    a_new = a_new - corr_aqv[:, :nv]
+    q_new = q_new - corr_aqv[:, nv:2 * nv]
+    v_new = v_new - corr_aqv[:, 2 * nv:]
+
+    # ---- forward correction (serial, reference :203-207) ---------------
+    inv_BL = KKT_inv[:, 3 * nv:, :2 * nv]      # x <- lmdgmm block
+    inv_TL3 = KKT_inv[:, :3 * nv, :2 * nv]
+
+    def fwd(carry, inp):
+        x_new_prev, x_prev = carry
+        (invBL_i, q_i, v_i, qv_new_i) = inp
+        x_res = x_new_prev - x_prev
+        corr = invBL_i @ x_res
+        qv_corr = qv_new_i - corr
+        return (qv_corr, jnp.concatenate([q_i, v_i])), (qv_corr, x_res)
+
+    qv_new = jnp.concatenate([q_new, v_new], axis=1)
+    qv_cur = jnp.concatenate([sol.q, sol.v], axis=1)
+    carry0 = (qv_new[0], qv_cur[0])
+    (_, _), (qv_corr, x_res_f) = jax.lax.scan(
+        fwd, carry0, (inv_BL[1:], sol.q[1:], sol.v[1:], qv_new[1:]))
+    qv_new = jnp.concatenate([qv_new[:1], qv_corr], axis=0)
+    x_res_f_full = jnp.concatenate(
+        [jnp.zeros((1, 2 * nv), dtype), x_res_f], axis=0)
+    corr_lga = jnp.einsum("nij,nj->ni", inv_TL3, x_res_f_full)
+    lg_new = lg_new - corr_lga[:, :2 * nv]
+    a_new = a_new - corr_lga[:, 2 * nv:]
+    q_new, v_new = qv_new[:, :nv], qv_new[:, nv:]
+
+    # new aux matrices (reference :210: aux_mat_[i] = -auxMat())
+    aux_new = -KKT_inv[:, :2 * nv, :2 * nv]
+    aux_new = jnp.concatenate([sol.aux[:1], aux_new[1:]], axis=0)
+
+    # ---- directions + expansion ----------------------------------------
+    dlmd = lg_new[:, :nv] - sol.lmd
+    dgmm = lg_new[:, nv:] - sol.gmm
+    da = a_new - sol.a
+    dq = q_new - sol.q
+    dv = v_new - sol.v
+    du = (jnp.einsum("nij,nj->ni", aux_p["dIDdq"], dq)
+          + jnp.einsum("nij,nj->ni", aux_p["dIDdv"], dv)
+          + jnp.einsum("nij,nj->ni", aux_p["M"], da) + aux_p["e_id"])
+    dbeta = aux_p["gu0"] + aux_p["Huu"] * du - sol.beta
+    de = jl.constraint_direction(model, limits, dq, dv, du)
+    ds, dz_ = pdipm.expand_slack_dual(aux_p["e"], sol.slack, sol.dual,
+                                      barrier, de, limits.mask)
+    a_p = pdipm.fraction_to_boundary(sol.slack, ds, ftb, limits.mask)
+    a_d = pdipm.fraction_to_boundary(sol.dual, dz_, ftb, limits.mask)
+    new = ParNMPCSolution(
+        q=sol.q + a_p * dq, v=sol.v + a_p * dv, a=sol.a + a_p * da,
+        u=sol.u + a_p * du, lmd=sol.lmd + a_p * dlmd,
+        gmm=sol.gmm + a_p * dgmm, beta=sol.beta + a_p * dbeta,
+        slack=sol.slack + a_p * ds, dual=sol.dual + a_d * dz_,
+        aux=aux_new)
+    return new, jnp.sqrt(kkt_sq.sum()), a_p

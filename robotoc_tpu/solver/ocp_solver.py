@@ -31,6 +31,7 @@ from ..ocp import contact_stage as stage
 from ..ocp import impact_stage as istage
 from ..planner.contact_sequence import GridData
 from ..riccati import lqr
+from ..riccati import parallel as plqr
 
 
 @struct.dataclass
@@ -59,6 +60,11 @@ class SolverOptions:
     barrier: float = struct.field(pytree_node=False, default=1e-3)
     fraction_to_boundary_rule: float = struct.field(
         pytree_node=False, default=0.995)
+    parallel_riccati: bool = struct.field(pytree_node=False, default=False)
+    """Use the O(log N)-depth associative-scan Riccati
+    (riccati/parallel.py) instead of the serial scan."""
+    enable_line_search: bool = struct.field(pytree_node=False, default=False)
+    """Merit-backtracking line search (reference line_search/)."""
 
 
 class OCPSolver:
@@ -78,15 +84,23 @@ class OCPSolver:
         self.n_slots = self.N + 1 + self.n_reserved_events
         self.options = options
         ei = self.n_reserved_events > 0
+        global_lqr = plqr if options.parallel_riccati else lqr
+        self._lqr = global_lqr
+        # `costs` is a call-time pytree argument: the MPC layer swaps
+        # reference arrays every update without recompiling.
         self._solve = jax.jit(functools.partial(
-            _solve, model, contacts, self.costs, self.limits,
+            _solve, model, contacts, self.limits,
             options.max_iter, options.kkt_tol, options.barrier,
-            options.fraction_to_boundary_rule, ei))
+            options.fraction_to_boundary_rule, ei,
+            riccati=global_lqr,
+            enable_ls=options.enable_line_search))
         self._update = jax.jit(functools.partial(
-            _update, model, contacts, self.costs, self.limits,
-            options.barrier, options.fraction_to_boundary_rule, ei))
+            _update, model, contacts, self.limits,
+            options.barrier, options.fraction_to_boundary_rule, ei,
+            riccati=global_lqr,
+            enable_ls=options.enable_line_search))
         self._kkt_error = jax.jit(functools.partial(
-            _kkt_error, model, contacts, self.costs, self.limits,
+            _kkt_error, model, contacts, self.limits,
             options.barrier, ei))
 
     def init_solution(self, grid: GridData, q, v,
@@ -126,27 +140,30 @@ class OCPSolver:
                         s_cone=s_cone, z_cone=z_cone)
 
     def solve(self, grid: GridData, q_init, v_init,
-              sol: Optional[Solution] = None, max_iter: Optional[int] = None):
+              sol: Optional[Solution] = None, costs=None):
         if sol is None:
             sol = self.init_solution(grid, q_init, v_init)
         q_init = jnp.asarray(q_init, self.model.dtype)
         v_init = jnp.asarray(v_init, self.model.dtype)
-        return self._solve(sol, grid, q_init, v_init)
+        return self._solve(costs or self.costs, sol, grid, q_init, v_init)
 
-    def update(self, grid: GridData, q_init, v_init, sol: Solution):
+    def update(self, grid: GridData, q_init, v_init, sol: Solution,
+               costs=None):
         """One Newton update (MPC mode)."""
-        return self._update(sol, grid, jnp.asarray(q_init),
-                            jnp.asarray(v_init))
+        return self._update(costs or self.costs, sol, grid,
+                            jnp.asarray(q_init), jnp.asarray(v_init))
 
-    def kkt_error(self, grid: GridData, q_init, v_init, sol: Solution):
-        return float(self._kkt_error(sol, grid, jnp.asarray(q_init),
+    def kkt_error(self, grid: GridData, q_init, v_init, sol: Solution,
+                  costs=None):
+        return float(self._kkt_error(costs or self.costs, sol, grid,
+                                     jnp.asarray(q_init),
                                      jnp.asarray(v_init)))
 
 
 # ---------------------------------------------------------------------------
 
-def _build(model, contacts, costs, limits, barrier, enable_impacts,
-           sol: Solution, grid: GridData, q_init, v_init):
+def _build(model, contacts, limits, barrier, enable_impacts,
+           costs, sol: Solution, grid: GridData, q_init, v_init):
     dt = grid.dt
     fn = jax.vmap(functools.partial(
         stage.stage_eval, model, contacts, costs, limits))
@@ -188,12 +205,13 @@ def _build(model, contacts, costs, limits, barrier, enable_impacts,
     return data, blocks, dx0, kkt_sq, total_cost
 
 
-def _update(model, contacts, costs, limits, barrier, ftb, enable_impacts,
-            sol: Solution, grid: GridData, q_init, v_init):
-    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, costs, limits,
-                                          barrier, enable_impacts, sol,
-                                          grid, q_init, v_init)
-    dx, du, dlmd_all, _ = lqr.solve(data, dx0)
+def _update(model, contacts, limits, barrier, ftb, enable_impacts,
+            costs, sol: Solution, grid: GridData, q_init, v_init,
+            riccati=lqr, enable_ls=False):
+    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, limits,
+                                          barrier, enable_impacts, costs,
+                                          sol, grid, q_init, v_init)
+    dx, du, dlmd_all, _ = riccati.solve(data, dx0)
     nv = model.nv
     dq, dv = dx[:-1, :nv], dx[:-1, nv:]
     dqN, dvN = dx[-1, :nv], dx[-1, nv:]
@@ -236,9 +254,33 @@ def _update(model, contacts, costs, limits, barrier, ftb, enable_impacts,
     a_d = jnp.minimum(
         pdipm.fraction_to_boundary(sol.z_lim, dz_lim, ftb, limits.mask),
         pdipm.fraction_to_boundary(sol.z_cone, dz_cone, ftb, cone_mask))
-    a_p = jnp.minimum(a_p, a_d)
+    # separate primal/dual step sizes (reference updatePrimal/updateDual)
     dq_all = jnp.concatenate([dq, dqN[None]], axis=0)
     dv_all = jnp.concatenate([dv, dvN[None]], axis=0)
+    pad0_ls = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    if enable_ls:
+        from ..line_search import line_search as ls
+
+        def trial(alpha):
+            return sol.replace(
+                q=rm.integrate(model, sol.q, alpha * dq_all),
+                v=sol.v + alpha * dv_all,
+                a=sol.a + alpha * pad0_ls(da),
+                u=sol.u + alpha * pad0_ls(du),
+                f=sol.f + alpha * pad0_ls(df),
+                s_lim=sol.s_lim + alpha * ds_lim,
+                s_cone=sol.s_cone + alpha * ds_cone)
+
+        rho = 1.0 + jnp.max(jnp.abs(sol.lmd)) + jnp.max(jnp.abs(sol.gmm)) \
+            + jnp.max(jnp.abs(sol.beta)) + jnp.max(jnp.abs(sol.mu))
+
+        def merit(s):
+            c, v = ls.eval_ocp(model, contacts, limits, barrier, costs, s,
+                               grid, q_init, v_init)
+            return c + rho * v
+
+        a_p = ls.search(trial, merit, a_p)
     pad0 = lambda x: jnp.concatenate(
         [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
     new = Solution(
@@ -259,30 +301,68 @@ def _update(model, contacts, costs, limits, barrier, ftb, enable_impacts,
     return new, jnp.sqrt(kkt_sq), a_p
 
 
-def _kkt_error(model, contacts, costs, limits, barrier, enable_impacts,
-               sol, grid, q_init, v_init):
-    _, _, _, kkt_sq, _ = _build(model, contacts, costs, limits, barrier,
-                                enable_impacts, sol, grid, q_init, v_init)
+def _kkt_error(model, contacts, limits, barrier, enable_impacts,
+               costs, sol, grid, q_init, v_init):
+    _, _, _, kkt_sq, _ = _build(model, contacts, limits, barrier,
+                                enable_impacts, costs, sol, grid, q_init,
+                                v_init)
     return jnp.sqrt(kkt_sq)
 
 
-def _solve(model, contacts, costs, limits, max_iter, kkt_tol, barrier, ftb,
-           enable_impacts, sol, grid, q_init, v_init):
+def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
+           enable_impacts, costs, sol, grid, q_init, v_init, riccati=lqr):
     def cond(state):
         _, it, kkt, _ = state
         return (it < max_iter) & (kkt > kkt_tol)
 
     def body(state):
         s, it, _, _ = state
-        new, _, alpha = _update(model, contacts, costs, limits, barrier, ftb,
-                                enable_impacts, s, grid, q_init, v_init)
-        kkt = _kkt_error(model, contacts, costs, limits, barrier,
-                         enable_impacts, new, grid, q_init, v_init)
+        new, _, alpha = _update(model, contacts, limits, barrier, ftb,
+                                enable_impacts, costs, s, grid, q_init,
+                                v_init, riccati=riccati)
+        kkt = _kkt_error(model, contacts, limits, barrier,
+                         enable_impacts, costs, new, grid, q_init, v_init)
         return new, it + 1, kkt, alpha
 
-    kkt0 = _kkt_error(model, contacts, costs, limits, barrier,
-                      enable_impacts, sol, grid, q_init, v_init)
+    kkt0 = _kkt_error(model, contacts, limits, barrier,
+                      enable_impacts, costs, sol, grid, q_init, v_init)
     one = jnp.asarray(1.0, sol.q.dtype)
     sol, iters, kkt, alpha = jax.lax.while_loop(
         cond, body, (sol, jnp.asarray(0), kkt0, one))
     return sol, dict(iterations=iters, kkt_error=kkt, last_step_size=alpha)
+
+
+def align_solution(sol: Solution, old_grid: GridData,
+                   new_grid: GridData) -> Solution:
+    """Warm-start re-alignment across re-discretizations: map every new slot
+    to the nearest old slot of the same kind and gather the old solution
+    rows (reference: solver/solution_interpolator.cpp:21-76, with
+    impact-grid alignment at :46-52). Host-side index computation, one
+    device gather."""
+    import numpy as np
+    t_old = np.asarray(old_grid.t)
+    t_new = np.asarray(new_grid.t)
+    imp_old = np.asarray(old_grid.is_impact) > 0
+    imp_new = np.asarray(new_grid.is_impact) > 0
+    S = t_new.shape[0]
+    idx = np.zeros(S, dtype=np.int32)
+    for i in range(S):
+        same = np.where(imp_old == imp_new[i])[0]
+        if len(same) == 0:
+            same = np.arange(t_old.shape[0])
+        idx[i] = same[np.argmin(np.abs(t_old[same] - t_new[i]))]
+    idx_full = jnp.asarray(idx)
+    idx_stage = jnp.asarray(np.minimum(idx[:-1], t_old.shape[0] - 2))
+
+    def g_full(x):
+        return jnp.take(x, idx_full, axis=0)
+
+    def g_stage(x):
+        return jnp.take(x, idx_stage, axis=0)
+
+    return Solution(
+        q=g_full(sol.q), v=g_full(sol.v), a=g_full(sol.a), u=g_full(sol.u),
+        f=g_full(sol.f), lmd=g_full(sol.lmd), gmm=g_full(sol.gmm),
+        beta=g_full(sol.beta), mu=g_full(sol.mu),
+        s_lim=g_stage(sol.s_lim), z_lim=g_stage(sol.z_lim),
+        s_cone=g_stage(sol.s_cone), z_cone=g_stage(sol.z_cone))

@@ -234,8 +234,6 @@ def _update(model, cost, limits, dt, barrier, ftb, sol, q_init, v_init):
     # Fraction-to-boundary step sizes
     a_p = pdipm.fraction_to_boundary(sol.slack, ds, ftb, limits.mask)
     a_d = pdipm.fraction_to_boundary(sol.dual, dz, ftb, limits.mask)
-    a_p = jnp.minimum(a_p, a_d)  # single primal step (reference couples via
-    #                              line search; conservative min here)
     dlmd, dgmm = dlmdgmm[:, :nv], dlmdgmm[:, nv:]
     pad = lambda x, last: jnp.concatenate([x, last[None]], axis=0)
     znv = jnp.zeros((model.nv,), dtype=sol.q.dtype)

@@ -38,10 +38,10 @@ def _setup(N=4):
     sched = ContactSchedule(nc=4).init([True] * 4, placements)
     grid = discretize(sched, 0.0, 0.025 * N, N)
     solver = OS.OCPSolver(m, contacts, (cost,), lim, T=0.025 * N, N=N)
-    upd = jax.jit(functools.partial(OS._update, m, contacts, (cost,), lim,
-                                    1e-3, 0.995, False))
-    ke = jax.jit(functools.partial(OS._kkt_error, m, contacts, (cost,), lim,
-                                   1e-3, False))
+    upd = jax.jit(functools.partial(OS._update, m, contacts, lim,
+                                    1e-3, 0.995, False, (cost,)))
+    ke = jax.jit(functools.partial(OS._kkt_error, m, contacts, lim,
+                                   1e-3, False, (cost,)))
     return m, contacts, solver, grid, upd, ke
 
 

@@ -158,22 +158,32 @@ class TrotFootStepPlanner:
             return None
         self._R = R
 
+        # Entry j of the returned arrays = placements/CoM at the START of
+        # contact phase j (relative to the current phase). The loop starts
+        # AT current_step so the in-progress swing's target is re-planned,
+        # and step==0 pushes a duplicate aligning entries with phases
+        # (reference trot_foot_step_planner.cpp:245-277).
         positions = [np.stack(pos)]
         coms = [com.copy()]
         Rs = [R.copy()]
         step0 = self.current_step
         pos = [p.copy() for p in pos]
-        for step in range(step0 + 1, step0 + planning_steps + 1):
-            R = self.R_yaw @ R
-            if step == 1:
-                adv = 0.25 if not self.enable_raibert else 0.5
+        for step in range(step0, step0 + planning_steps + 1):
+            if step == 0:
+                pass
+            elif step0 == 0 and step == 1:
+                R = self.R_yaw @ R
+                adv = 0.5 if self.enable_raibert else 0.25
                 com = com + adv * (R @ self.step_length)
+                for i in self.PAIR_B:
+                    pos[i] = com + R @ self.com_to_foot_local[i]
             else:
+                R = self.R_yaw @ R
                 com = com + 0.5 * (R @ self.step_length)
-            moving = self.PAIR_B if step % 2 == 1 else self.PAIR_A
-            for i in moving:
-                pos[i] = com + R @ self.com_to_foot_local[i]
-            positions.append(np.stack(pos))
+                moving = self.PAIR_B if step % 2 == 1 else self.PAIR_A
+                for i in moving:
+                    pos[i] = com + R @ self.com_to_foot_local[i]
+            positions.append(np.stack([p.copy() for p in pos]))
             coms.append(com.copy())
             Rs.append(R.copy())
         return np.stack(positions), np.stack(coms), np.stack(Rs)

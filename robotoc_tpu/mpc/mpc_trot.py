@@ -161,9 +161,18 @@ class MPCTrot:
         grid = discretize(sched, t, self.T, self.N,
                           n_reserved=self.n_reserved, dtype=dtype)
 
-        # swing-foot refs
+        # swing-foot refs: positions entry j = placements at start of
+        # phase j; foot i swinging at absolute step s occupies phase
+        # p = s - s_now (or p = s while standing), interpolating
+        # positions[p] -> positions[p+1] (reference
+        # mpc_periodic_swing_foot_ref.cpp:94-105).
         foot_costs = []
         K = self.K
+        npos = positions.shape[0]
+
+        def phase_of(s_abs):
+            return s_abs - s_now if s_now >= 1 else s_abs
+
         for i in range(4):
             t_start = np.full(K, 1e9)
             x_prev = np.zeros((K, 3))
@@ -172,11 +181,10 @@ class MPCTrot:
             slot = 0
             for s_abs in range(max(1, s_now), s_now + K + 1):
                 if i in self._swing_pair(s_abs) and slot < K:
-                    jrel = s_abs - s_now if s_now > 0 else s_abs
-                    jrel = min(jrel, K)
+                    pph = min(phase_of(s_abs), npos - 2)
                     t_start[slot] = self._ts(s_abs)
-                    x_prev[slot] = positions[max(jrel - 1, 0)][i]
-                    x_next[slot] = positions[jrel][i]
+                    x_prev[slot] = positions[pph][i]
+                    x_next[slot] = positions[pph + 1][i]
                     valid[slot] = 1.0
                     slot += 1
             order = np.argsort(t_start)
@@ -192,16 +200,15 @@ class MPCTrot:
                 weight=self.foot_weight,
                 weight_terminal=self.foot_weight,
                 weight_impact=self.foot_weight, ref=ref))
-        # CoM ref
+        # CoM ref: phase-aligned, includes the in-progress swing
         t_start = np.full(K, 1e9)
         com_steps = np.zeros((K + 1, 3))
         valid = np.zeros(K)
-        com_steps[0] = coms[0]
-        for k in range(K):
-            s_abs = (s_now if s_now > 0 else 0) + 1 + k
+        com_steps[0] = coms[min(phase_of(max(1, s_now)), npos - 2)]
+        for k, s_abs in enumerate(range(max(1, s_now), s_now + K)):
+            pph = min(phase_of(s_abs), npos - 2)
             t_start[k] = self._ts(s_abs)
-            jrel = min(k + 1, self.K)
-            com_steps[k + 1] = coms[jrel]
+            com_steps[k + 1] = coms[pph + 1]
             valid[k] = 1.0
         com_ref = StepCoMRef(com_steps=jnp.asarray(com_steps, dtype),
                              t_start=jnp.asarray(t_start, dtype),

@@ -32,7 +32,10 @@ class StepSwingFootRef:
             (self.valid[k] > 0)
         phase = jnp.clip(tau / self.swing_time, 0.0, 1.0)
         pos = self.x_prev[k] + phase * (self.x_next[k] - self.x_prev[k])
-        z = self.step_height * jnp.sin(jnp.pi * phase) ** 2
+        # triangular height ramp (reference mpc_periodic_swing_foot_ref
+        # .cpp:100-105)
+        z = self.step_height * jnp.where(phase < 0.5, 2.0 * phase,
+                                         2.0 * (1.0 - phase))
         pos = pos.at[2].add(z)
         return pos, jnp.where(in_swing, 1.0, 0.0).astype(pos.dtype)
 

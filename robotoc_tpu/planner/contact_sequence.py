@@ -98,48 +98,56 @@ class GridData:
 
 def discretize(schedule: ContactSchedule, t0: float, T: float, N: int,
                n_reserved: int = 0, dtype=jnp.float64) -> GridData:
-    """Build the slot arrays. Event times are quantized to the uniform grid
-    boundaries (exact for the standard gaits whose phase durations are
-    multiples of dt)."""
+    """Build the slot arrays with EXACT event alignment: the uniform grid
+    boundary nearest each discrete event is snapped to the exact event time
+    (non-uniform per-slot dt; values change, shapes never) — the static-shape
+    analog of the reference's event-grid insertion
+    (time_discretization.cpp:43-90)."""
     dt = T / N
     nc = schedule.nc
-    # impact boundaries: boundary index -> newly active mask
-    impacts = {}
+    bounds = t0 + dt * np.arange(N + 1)
+    # all events (impact or lift) inside the horizon, with snap targets
+    impacts = {}     # boundary index -> newly-active mask
     for k, p in enumerate(schedule.phases[1:]):
-        if schedule.event_is_impact[k] and t0 < p.start_time <= t0 + T + 1e-9:
-            b = int(round((p.start_time - t0) / dt))
+        te = p.start_time
+        if t0 < te <= t0 + T + 1e-9:
+            b = int(round((te - t0) / dt))
             b = min(max(b, 1), N)
+            bounds[b] = te
             prev = schedule.phases[k].active
             newly = p.active & ~prev
-            impacts[b] = impacts.get(b, np.zeros(nc, bool)) | newly
-    if len(impacts) > n_reserved:
+            if schedule.event_is_impact[k]:
+                impacts[b] = impacts.get(b, np.zeros(nc, bool)) | newly
+    bounds = np.maximum.accumulate(bounds)   # keep monotone
+    n_impacts = len(impacts)
+    if n_impacts > n_reserved:
         raise ValueError(
-            f"{len(impacts)} impact events in horizon but only "
+            f"{n_impacts} impact events in horizon but only "
             f"{n_reserved} reserved slots")
 
     rows = []   # (t, dt, active, p_ref, fric, is_impact, imp_mask)
 
     def status(t):
-        ph = schedule.phase_at(t + 1e-12)
+        ph = schedule.phase_at(t + 1e-9)
         return ph.active.astype(float), ph.placements, ph.friction
 
     for k in range(N):
-        tk = t0 + k * dt
+        tk, tk1 = bounds[k], bounds[k + 1]
         if k in impacts:
             a, p, f = status(tk)
-            rows.append((tk, 0.0, a, p, f, 1.0,
-                         impacts[k].astype(float)))
+            rows.append((tk, 0.0, a, p, f, 1.0, impacts[k].astype(float)))
         a, p, f = status(tk)
-        rows.append((tk, dt, a, p, f, 0.0, np.zeros(nc)))
+        rows.append((tk, tk1 - tk, a, p, f, 0.0, np.zeros(nc)))
     # unused reserved slots: identity pass-throughs before terminal
-    for _ in range(n_reserved - len(impacts)):
-        a, p, f = status(t0 + T)
-        rows.append((t0 + T, 0.0, a, p, f, 1.0, np.zeros(nc)))
+    t_end = bounds[N]
+    for _ in range(n_reserved - n_impacts):
+        a, p, f = status(t_end)
+        rows.append((t_end, 0.0, a, p, f, 1.0, np.zeros(nc)))
     if N in impacts:
-        a, p, f = status(t0 + T)
-        rows.append((t0 + T, 0.0, a, p, f, 1.0, impacts[N].astype(float)))
-    a, p, f = status(t0 + T)
-    rows.append((t0 + T, 0.0, a, p, f, 0.0, np.zeros(nc)))  # terminal
+        a, p, f = status(t_end)
+        rows.append((t_end, 0.0, a, p, f, 1.0, impacts[N].astype(float)))
+    a, p, f = status(t_end)
+    rows.append((t_end, 0.0, a, p, f, 0.0, np.zeros(nc)))  # terminal
 
     arr = lambda x: jnp.asarray(np.asarray(x), dtype)
     return GridData(

@@ -1,25 +1,28 @@
-"""Host-side gait planners: trot foot-step planner + Raibert heuristic.
+"""Host-side gait planners: cyclic foot-step planner + Raibert heuristic.
 
 Re-derivation of the reference's planner layer (reference:
-src/mpc/trot_foot_step_planner.cpp:126-240, mpc/raibert_heuristic.hpp:23-90,
-mpc/moving_window_filter.hpp). These run on the host in numpy — they are
-O(planning_steps) scalar logic executed once per MPC update; their OUTPUT
-(planned contact positions / CoM / yaw per step) feeds the jitted solver as
-arrays.
+src/mpc/trot_foot_step_planner.cpp:126-240, crawl_foot_step_planner.cpp,
+pace_foot_step_planner.cpp, flying_trot_foot_step_planner.cpp,
+mpc/raibert_heuristic.hpp:23-90, mpc/moving_window_filter.hpp). One
+parameterized planner covers all periodic gaits: a gait is a CYCLE of swing
+sets (which feet are airborne at step s). These run on the host in numpy —
+O(planning_steps) scalar logic once per MPC update; their OUTPUT (planned
+contact positions / CoM / yaw per step) feeds the jitted solver as arrays.
 
-Trot conventions (feet order LF, LH, RF, RH):
-  diagonal pair A = (LF, RH) = indices (0, 3), pair B = (LH, RF) = (1, 2);
-  during a swing phase one pair stands, the other moves by step_length
-  (rotated by the commanded yaw), and the CoM advances half a step.
+Feet order convention (quadrupeds): LF, LH, RF, RH →
+  trot   cycle = ((LH,RF), (LF,RH)) = ((1,2), (0,3))
+  pace   cycle = ((RF,RH), (LF,LH)) = ((2,3), (0,1))   (right side first)
+  crawl  cycle = ((RH,), (RF,), (LH,), (LF,)) = ((3,),(2,),(1,),(0,))
 """
 from __future__ import annotations
 
 from collections import deque
+from typing import Sequence, Tuple
 
 import numpy as np
 
-from ..models import robot as rm
-from ..models import forward_kinematics, frame_placement, com as com_fn
+from ..models import com as com_fn
+from ..models import forward_kinematics, frame_placement
 
 
 class MovingWindowFilter:
@@ -59,15 +62,18 @@ class RaibertHeuristic:
         return np.array([xy[0], xy[1], 0.0])
 
 
-class TrotFootStepPlanner:
-    """Plans contact placements / CoM / base yaw over future trot steps."""
+class GaitFootStepPlanner:
+    """Cyclic foot-step planner: placements / CoM / yaw per future step
+    (generalizes the reference's per-gait planners; see module docstring)."""
 
-    PAIR_A = (0, 3)   # LF, RH
-    PAIR_B = (1, 2)   # LH, RF
-
-    def __init__(self, model, feet_frames):
+    def __init__(self, model, feet_frames, cycle: Sequence[Tuple[int, ...]],
+                 first_step_factor: float = 0.5):
         self.model = model
         self.frame_ids = [model.frame_id(f) for f in feet_frames]
+        self.nc = len(self.frame_ids)
+        self.cycle = tuple(tuple(s) for s in cycle)
+        self.com_advance = 1.0 / len(self.cycle)
+        self.first_step_factor = float(first_step_factor)
         self.step_length = np.zeros(3)
         self.R_yaw = np.eye(3)
         self.enable_stance_phase = False
@@ -78,7 +84,7 @@ class TrotFootStepPlanner:
         self.yaw_rate_cmd = 0.0
         self.current_step = 0
 
-    # -- gait pattern -----------------------------------------------------
+    # -- gait pattern -------------------------------------------------------
     def set_gait_pattern(self, step_length, step_yaw,
                          enable_stance_phase=False):
         self.step_length = np.asarray(step_length, float)
@@ -87,20 +93,22 @@ class TrotFootStepPlanner:
         self.enable_stance_phase = enable_stance_phase
         self.enable_raibert = False
 
-    def set_raibert_gait_pattern(self, vcom_cmd, yaw_rate_cmd, swing_time,
-                                 stance_time, gain):
-        period = 2.0 * (swing_time + stance_time)
+    def set_raibert_gait_pattern(self, vcom_cmd, yaw_rate_cmd, period,
+                                 gain):
+        """period: full gait period (every foot stepped once)."""
         self.raibert = RaibertHeuristic(period, gain)
         self.vcom_filter = MovingWindowFilter(0.1 * period)
         self.vcom_cmd = np.asarray(vcom_cmd, float)
         self.yaw_rate_cmd = yaw_rate_cmd
-        step_yaw = yaw_rate_cmd * (swing_time + stance_time)
+        step_yaw = yaw_rate_cmd * period / len(self.cycle)
         cy, sy = np.cos(step_yaw), np.sin(step_yaw)
         self.R_yaw = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
-        self.enable_stance_phase = stance_time > 0.0
         self.enable_raibert = True
 
-    # -- lifecycle --------------------------------------------------------
+    def swing_set(self, s: int) -> Tuple[int, ...]:
+        return self.cycle[(s - 1) % len(self.cycle)]
+
+    # -- lifecycle ------------------------------------------------------------
     def init(self, q):
         q = np.asarray(q, float)
         R = _yaw_projection(_quat_to_R(q[3:7]))
@@ -111,58 +119,60 @@ class TrotFootStepPlanner:
                    - com)
             for fid in self.frame_ids]
         self.current_step = 0
+        self._R = R
         if self.vcom_filter is not None:
             self.vcom_filter.clear()
 
     def plan(self, t, q, v, contact_active, planning_steps):
-        """Returns (positions (steps+1, 4, 3), com (steps+1, 3),
-        R (steps+1, 3, 3)) — entry 0 is the CURRENT stance."""
+        """(positions (K+1, nc, 3), com (K+1, 3), R (K+1, 3, 3)); entry 0 is
+        the current stance, entry j the placements after j more steps
+        (reference trot_foot_step_planner.cpp:245-277 et al.)."""
         q = np.asarray(q, float)
         if self.enable_raibert:
             self.vcom_filter.push(t, np.asarray(v[:3], float)[:2])
-            vavg = self.vcom_filter.average()
+            vavg = np.atleast_1d(self.vcom_filter.average())
+            if vavg.size < 2:
+                vavg = np.zeros(2)
             self.step_length = self.raibert.step_length(
-                np.array([*np.atleast_1d(vavg), 0.0])[:2]
-                if np.ndim(vavg) else np.zeros(2),
-                self.vcom_cmd[:2], self.yaw_rate_cmd)
+                vavg[:2], self.vcom_cmd[:2], self.yaw_rate_cmd)
         Rw, pw = forward_kinematics(self.model, q)
         pos = [np.asarray(frame_placement(self.model, fid, Rw, pw)[1])
                for fid in self.frame_ids]
         R = getattr(self, "_R", _yaw_projection(_quat_to_R(q[3:7])))
         active = list(contact_active)
-        com = np.zeros(3)
+        n_cyc = len(self.cycle)
+
         if all(active):
-            self.current_step = 0 if not self.enable_stance_phase else \
-                self.current_step + (self.current_step % 2)
+            if self.enable_stance_phase:
+                self.current_step += self.current_step % 2
+            else:
+                self.current_step = 0
             com = np.mean([pos[i] - R @ self.com_to_foot_local[i]
-                           for i in range(4)], axis=0)
-        elif active[0] and active[3]:        # pair A stands, B swings
-            if self.current_step % 2 != 1:
-                self.current_step += 1
-                R = self.R_yaw @ R
-            com = 0.5 * ((pos[0] - R @ self.com_to_foot_local[0])
-                         + (pos[3] - R @ self.com_to_foot_local[3]))
-            for i in self.PAIR_B:
-                pos[i] = com + R @ (self.com_to_foot_local[i]
-                                    - 0.5 * self.step_length)
-        elif active[1] and active[2]:        # pair B stands, A swings
-            if self.current_step % 2 != 0:
-                self.current_step += 1
-                R = self.R_yaw @ R
-            com = 0.5 * ((pos[1] - R @ self.com_to_foot_local[1])
-                         + (pos[2] - R @ self.com_to_foot_local[2]))
-            for i in self.PAIR_A:
-                pos[i] = com + R @ (self.com_to_foot_local[i]
-                                    - 0.5 * self.step_length)
+                           for i in range(self.nc)], axis=0)
         else:
-            return None
+            swing = tuple(i for i in range(self.nc) if not active[i])
+            match = None
+            for k, c in enumerate(self.cycle):
+                if set(c) == set(swing) or set(c).issuperset(swing):
+                    match = k
+                    break
+            if match is None:
+                return None
+            # align current_step so swing_set(current_step) == cycle[match]
+            if self.current_step == 0 \
+                    or (self.current_step - 1) % n_cyc != match:
+                self.current_step += 1
+                R = self.R_yaw @ R
+                while (self.current_step - 1) % n_cyc != match:
+                    self.current_step += 1
+            stand = [i for i in range(self.nc) if active[i]]
+            com = np.mean([pos[i] - R @ self.com_to_foot_local[i]
+                           for i in stand], axis=0)
+            for i in swing:
+                pos[i] = com + R @ (self.com_to_foot_local[i]
+                                    - 0.5 * self.step_length)
         self._R = R
 
-        # Entry j of the returned arrays = placements/CoM at the START of
-        # contact phase j (relative to the current phase). The loop starts
-        # AT current_step so the in-progress swing's target is re-planned,
-        # and step==0 pushes a duplicate aligning entries with phases
-        # (reference trot_foot_step_planner.cpp:245-277).
         positions = [np.stack(pos)]
         coms = [com.copy()]
         Rs = [R.copy()]
@@ -173,20 +183,39 @@ class TrotFootStepPlanner:
                 pass
             elif step0 == 0 and step == 1:
                 R = self.R_yaw @ R
-                adv = 0.5 if self.enable_raibert else 0.25
+                adv = self.com_advance * (
+                    1.0 if self.enable_raibert else self.first_step_factor)
                 com = com + adv * (R @ self.step_length)
-                for i in self.PAIR_B:
+                for i in self.swing_set(step):
                     pos[i] = com + R @ self.com_to_foot_local[i]
             else:
                 R = self.R_yaw @ R
-                com = com + 0.5 * (R @ self.step_length)
-                moving = self.PAIR_B if step % 2 == 1 else self.PAIR_A
-                for i in moving:
+                com = com + self.com_advance * (R @ self.step_length)
+                for i in self.swing_set(step):
                     pos[i] = com + R @ self.com_to_foot_local[i]
             positions.append(np.stack([p.copy() for p in pos]))
             coms.append(com.copy())
             Rs.append(R.copy())
         return np.stack(positions), np.stack(coms), np.stack(Rs)
+
+
+class TrotFootStepPlanner(GaitFootStepPlanner):
+    """Trot: diagonal pairs, pair B = (LH, RF) swings first
+    (reference src/mpc/trot_foot_step_planner.cpp)."""
+
+    PAIR_A = (0, 3)   # LF, RH
+    PAIR_B = (1, 2)   # LH, RF
+
+    def __init__(self, model, feet_frames):
+        super().__init__(model, feet_frames,
+                         cycle=(self.PAIR_B, self.PAIR_A))
+
+    def set_raibert_gait_pattern(self, vcom_cmd, yaw_rate_cmd, swing_time,
+                                 stance_time, gain):
+        period = 2.0 * (swing_time + stance_time)
+        super().set_raibert_gait_pattern(vcom_cmd, yaw_rate_cmd, period,
+                                         gain)
+        self.enable_stance_phase = stance_time > 0.0
 
 
 def _quat_to_R(quat_xyzw):

@@ -1,0 +1,354 @@
+"""Generic periodic-gait whole-body MPC for quadrupeds.
+
+One parameterized implementation covering the reference's per-gait MPC
+classes and foot-step planners (reference: src/mpc/mpc_trot.cpp:13-373,
+mpc_pace.cpp, mpc_crawl.cpp, mpc_flying_trot.cpp and the matching
+*_foot_step_planner.cpp files). A gait is a CYCLE of swing sets — which feet
+are airborne at step s — plus (swing_time, stance_time | flying_time)
+timing:
+
+    trot         cycle = ((LH,RF), (LF,RH))          stance_time >= 0
+    pace         cycle = ((RF,RH), (LF,LH))          stance_time >= 0
+    crawl        cycle = ((RH,), (RF,), (LH,), (LF,)) stance_time >= 0
+    flying trot  cycle = ((LH,RF), (LF,RH))          flying_time > 0
+                 (all feet airborne between steps; touchdown = impact)
+
+The host side bakes the sliding contact schedule + step-indexed reference
+arrays each control update (values change, shapes don't); the jitted
+contact-OCP solver (solver/ocp_solver.py) never recompiles as the gait
+slides forward.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..constraints.joint_limits import make_joint_limits
+from ..costs.config_cost import make_config_cost
+from ..costs.task_cost import CoMCost, TaskSpace3DCost
+from ..models import com as com_fn
+from ..models import forward_kinematics, frame_placement
+from ..models import robot as rm
+from ..models import contacts as ct
+from ..planner.contact_sequence import ContactSchedule, discretize
+from ..solver.ocp_solver import OCPSolver, SolverOptions, align_solution
+from .foot_step_planner import GaitFootStepPlanner
+from .refs import StepCoMRef, StepSwingFootRef
+
+FEET_DEFAULT = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
+
+
+class PeriodicGaitMPC:
+    """Whole-body MPC over a periodic gait cycle (generalizes
+    reference MPCTrot/MPCPace/MPCCrawl/MPCFlyingTrot)."""
+
+    #: swing sets per step within one gait cycle; override per gait
+    CYCLE: Tuple[Tuple[int, ...], ...] = ((1, 2), (0, 3))
+
+    def __init__(self, model: rm.RobotModel, T: float, N: int,
+                 feet=None, friction_coefficient: float = 0.5,
+                 options: SolverOptions = SolverOptions(max_iter=2),
+                 baumgarte_time_step: float = 0.05):
+        self.model = model
+        feet = feet or FEET_DEFAULT
+        self.feet = feet
+        self.nc = len(feet)
+        self.contacts = ct.make_contacts(
+            model, feet, baumgarte_time_step=baumgarte_time_step)
+        self.T, self.N = float(T), int(N)
+        self.friction = friction_coefficient
+        nv, dimu = model.nv, model.dimu
+        dt = model.dtype
+        # cost weights (reference src/mpc/mpc_trot.cpp:42-81 et al.)
+        self.config_cost = make_config_cost(
+            model,
+            q_weight=jnp.asarray([0, 0, 0, 250000, 250000, 250000]
+                                 + [0.0001] * (nv - 6), dt),
+            v_weight=jnp.asarray([100.0] * 6 + [1.0] * (nv - 6), dt),
+            a_weight=jnp.asarray([1e-6] * nv, dt),
+            u_weight=jnp.asarray([1e-2] * dimu, dt),
+            q_weight_terminal=jnp.asarray(
+                [0, 0, 0, 250000, 250000, 250000] + [0.0001] * (nv - 6), dt),
+            v_weight_terminal=jnp.asarray([100.0] * 6 + [1.0] * (nv - 6),
+                                          dt),
+            q_weight_impact=jnp.asarray(
+                [0, 0, 0, 100, 100, 100] + [0.1] * (nv - 6), dt),
+            v_weight_impact=jnp.asarray([100.0] * nv, dt),
+            dv_weight_impact=jnp.asarray([1e-3] * nv, dt),
+        )
+        self.foot_weight = jnp.full(3, 1e6, dt)
+        self.com_weight = jnp.full(3, 1e4, dt)
+        self.limits = make_joint_limits(model)
+        self.n_reserved = max(2, int(math.ceil(T / 0.2)) + 1)
+        self.planner: Optional[GaitFootStepPlanner] = None
+        self.swing_height = 0.1
+        self.swing_time = 0.25
+        self.stance_time = 0.0
+        self.flying_time = 0.0
+        self.swing_start_time = 0.5
+        self._solver: Optional[OCPSolver] = None
+        self._options = options
+        self.sol = None
+        self.grid = None
+        self._costs = None
+
+    # ------------------------------------------------------------------
+    def make_planner(self, first_step_factor: float = 0.5):
+        return GaitFootStepPlanner(self.model, self.feet, self.CYCLE,
+                                   first_step_factor)
+
+    def set_gait_pattern(self, planner: GaitFootStepPlanner,
+                         swing_height: float, swing_time: float,
+                         stance_time: float, swing_start_time: float,
+                         flying_time: float = 0.0):
+        """(reference MPC*::setGaitPattern; for flying trot, stance_time
+        plays the reference's `flying_time` role via flying_time > 0)."""
+        self.planner = planner
+        self.swing_height = float(swing_height)
+        self.swing_time = float(swing_time)
+        self.stance_time = float(stance_time)
+        self.flying_time = float(flying_time)
+        self.swing_start_time = float(swing_start_time)
+        period = swing_time + stance_time + flying_time
+        self.n_reserved = int(math.ceil(self.T / period)) + 2
+        self.K = self.n_reserved + 2      # planner step cap
+
+    # -- gait timing ------------------------------------------------------
+    def _step_period(self) -> float:
+        return self.swing_time + self.stance_time + self.flying_time
+
+    def _ts(self, s: int) -> float:
+        return self.swing_start_time + (s - 1) * self._step_period()
+
+    def _current_swing(self, t: float) -> int:
+        if t < self.swing_start_time:
+            return 0
+        return int(np.floor((t - self.swing_start_time)
+                            / self._step_period())) + 1
+
+    def _swing_set(self, s: int):
+        return self.planner.cycle[(s - 1) % len(self.planner.cycle)]
+
+    def _active_at(self, t: float):
+        s = self._current_swing(t)
+        if s == 0:
+            return [True] * self.nc
+        ts = self._ts(s)
+        if t <= ts + self.swing_time + 1e-9:
+            sw = self._swing_set(s)
+            return [i not in sw for i in range(self.nc)]
+        if self.flying_time > 0 and t <= ts + self.swing_time \
+                + self.flying_time + 1e-9:
+            return [False] * self.nc          # flight
+        return [True] * self.nc               # stance window
+
+    def _swing_window(self, s: int):
+        """(start, duration) of step s's foot-swing trajectory."""
+        ts = self._ts(s)
+        if self.flying_time > 0:
+            # feet lift at the previous flight start and land at ts(s+1)
+            start = ts - self.flying_time if s > 1 else ts
+            return start, self.swing_time + self.flying_time + (
+                self.flying_time if s > 1 else 0.0)
+        return ts, self.swing_time
+
+    # ------------------------------------------------------------------
+    def _build_schedule_and_costs(self, t, q, v):
+        """Plan future steps; bake schedule + reference arrays
+        (reference MPC*::updateSolution -> addStep + resetContactPlacements)."""
+        m = self.model
+        dtype = m.dtype
+        nc = self.nc
+        s_now = self._current_swing(t)
+        active_now = self._active_at(t)
+        plan = self.planner.plan(t, q, v, active_now, self.K)
+        assert plan is not None, "planner failed (unsupported contact state)"
+        positions, coms, Rs = plan
+
+        sched = ContactSchedule(nc=nc, default_friction=self.friction)
+        sched.init(active_now, positions[0])
+        j = 1
+        s = s_now if s_now > 0 else 0
+        while True:
+            s_next = s + 1
+            ts = self._ts(s_next)
+            te = ts + self.swing_time
+            if ts > t + self.T + 1e-9:
+                break
+            if ts > t:                 # swing begins (lift of swing set)
+                sw = self._swing_set(s_next)
+                act = [i not in sw for i in range(nc)]
+                sched.push_back(act, positions[min(j, self.K)], ts)
+            if self.flying_time > 0:
+                tf = te + self.flying_time
+                if te > t and te <= t + self.T + 1e-9:
+                    sched.push_back([False] * nc,
+                                    positions[min(j, self.K)], te)
+            elif self.stance_time > 0 and te > t \
+                    and te <= t + self.T + 1e-9:
+                sched.push_back([True] * nc, positions[min(j, self.K)], te)
+            s = s_next
+            j += 1
+
+        grid = discretize(sched, t, self.T, self.N,
+                          n_reserved=self.n_reserved, dtype=dtype)
+
+        # swing-foot references (reference mpc_periodic_swing_foot_ref.cpp)
+        foot_costs = []
+        K = self.K
+        npos = positions.shape[0]
+
+        def phase_of(s_abs):
+            return s_abs - s_now if s_now >= 1 else s_abs
+
+        for i in range(nc):
+            t_start = np.full(K, 1e9)
+            durs = np.full(K, self.swing_time)
+            x_prev = np.zeros((K, 3))
+            x_next = np.zeros((K, 3))
+            valid = np.zeros(K)
+            slot = 0
+            for s_abs in range(max(1, s_now), s_now + K + 1):
+                if i in self._swing_set(s_abs) and slot < K:
+                    pph = min(phase_of(s_abs), npos - 2)
+                    w0, wd = self._swing_window(s_abs)
+                    t_start[slot] = w0
+                    durs[slot] = wd
+                    x_prev[slot] = positions[pph][i]
+                    x_next[slot] = positions[pph + 1][i]
+                    valid[slot] = 1.0
+                    slot += 1
+            order = np.argsort(t_start)
+            ref = StepSwingFootRef(
+                x_prev=jnp.asarray(x_prev[order], dtype),
+                x_next=jnp.asarray(x_next[order], dtype),
+                t_start=jnp.asarray(t_start[order], dtype),
+                swing_time=jnp.asarray(durs[order], dtype),
+                step_height=jnp.asarray(self.swing_height, dtype),
+                valid=jnp.asarray(valid[order], dtype))
+            foot_costs.append(TaskSpace3DCost(
+                frame_id=self.contacts.frame_ids[i],
+                weight=self.foot_weight,
+                weight_terminal=self.foot_weight,
+                weight_impact=self.foot_weight, ref=ref))
+        # CoM reference (reference mpc_periodic_com_ref.cpp)
+        t_start = np.full(K, 1e9)
+        com_steps = np.zeros((K + 1, 3))
+        valid = np.zeros(K)
+        com_steps[0] = coms[min(phase_of(max(1, s_now)), npos - 2)]
+        for k, s_abs in enumerate(range(max(1, s_now), s_now + K)):
+            pph = min(phase_of(s_abs), npos - 2)
+            t_start[k] = self._ts(s_abs)
+            com_steps[k + 1] = coms[pph + 1]
+            valid[k] = 1.0
+        com_ref = StepCoMRef(com_steps=jnp.asarray(com_steps, dtype),
+                             t_start=jnp.asarray(t_start, dtype),
+                             swing_time=jnp.asarray(
+                                 self.swing_time + self.flying_time, dtype),
+                             valid=jnp.asarray(valid, dtype))
+        com_cost = CoMCost(weight=self.com_weight,
+                           weight_terminal=self.com_weight,
+                           weight_impact=self.com_weight, ref=com_ref)
+        costs = (self.config_cost, *foot_costs, com_cost)
+        return grid, costs
+
+    # ------------------------------------------------------------------
+    def init(self, t, q, v, num_iters: int = 20):
+        """Solve the initial OCP to convergence (reference MPC*::init)."""
+        q = jnp.asarray(q, self.model.dtype)
+        v = jnp.asarray(v, self.model.dtype)
+        self.config_cost = self.config_cost.replace(q_ref=q)
+        self.planner.init(q)
+        grid, costs = self._build_schedule_and_costs(float(t), q, v)
+        if self._solver is None:
+            self._solver = OCPSolver(
+                self.model, self.contacts, costs, self.limits,
+                self.T, self.N, options=self._options,
+                n_reserved_events=self.n_reserved)
+        sol = self._solver.init_solution(grid, q, v)
+        kkt = np.inf
+        policy = None
+        for _ in range(num_iters):
+            sol, kkt, _, policy = self._solver.update(grid, q, v, sol,
+                                                      costs=costs)
+        self.sol, self.grid, self._costs = sol, grid, costs
+        self.lqr_policy = policy
+        return float(kkt)
+
+    def update_solution(self, t, dt, q, v, max_iter: int = 2):
+        """One MPC update (reference MPC*::updateSolution)."""
+        q = jnp.asarray(q, self.model.dtype)
+        v = jnp.asarray(v, self.model.dtype)
+        grid, costs = self._build_schedule_and_costs(float(t), q, v)
+        sol = align_solution(self.sol, self.grid, grid)
+        kkt = None
+        for _ in range(max_iter):
+            sol, kkt, _, policy = self._solver.update(grid, q, v, sol,
+                                                      costs=costs)
+        self.sol, self.grid, self._costs = sol, grid, costs
+        self.lqr_policy = policy
+        return float(kkt)
+
+    # ------------------------------------------------------------------
+    def get_initial_control_input(self):
+        return self.sol.u[0]
+
+    def get_control_policy(self, t: float):
+        """Interpolated PD+feedforward policy at time t
+        (reference mpc/control_policy.hpp:17-102)."""
+        from .control_policy import ControlPolicy
+        return ControlPolicy.from_solution(self.model, self.grid, self.sol,
+                                           self.lqr_policy, t)
+
+    def kkt_error(self, t, q, v):
+        return self._solver.kkt_error(self.grid, q, v, self.sol,
+                                      costs=self._costs)
+
+
+class MPCPace(PeriodicGaitMPC):
+    """Pace gait: lateral pairs; right side (RF, RH) swings first
+    (reference src/mpc/mpc_pace.cpp:100-106,297)."""
+    CYCLE = ((2, 3), (0, 1))
+
+
+class MPCCrawl(PeriodicGaitMPC):
+    """Crawl gait: one foot at a time, order RH, RF, LH, LF
+    (reference src/mpc/mpc_crawl.cpp:100-104,
+    crawl_foot_step_planner.cpp:162-238)."""
+    CYCLE = ((3,), (2,), (1,), (0,))
+
+    def make_planner(self, first_step_factor: float = 0.5):
+        return GaitFootStepPlanner(self.model, self.feet, self.CYCLE,
+                                   first_step_factor)
+
+
+class MPCFlyingTrot(PeriodicGaitMPC):
+    """Flying trot: diagonal pairs with a flight phase between steps
+    (reference src/mpc/mpc_flying_trot.cpp:100-102)."""
+    CYCLE = ((1, 2), (0, 3))
+
+    def set_gait_pattern(self, planner, swing_height, swing_time,
+                         flying_time, swing_start_time):
+        super().set_gait_pattern(planner, swing_height, swing_time,
+                                 stance_time=0.0,
+                                 swing_start_time=swing_start_time,
+                                 flying_time=flying_time)
+
+
+def pace_foot_step_planner(model, feet=None, first_step_factor=0.5):
+    return GaitFootStepPlanner(model, feet or FEET_DEFAULT, MPCPace.CYCLE,
+                               first_step_factor)
+
+
+def crawl_foot_step_planner(model, feet=None, first_step_factor=0.5):
+    return GaitFootStepPlanner(model, feet or FEET_DEFAULT, MPCCrawl.CYCLE,
+                               first_step_factor)
+
+
+def flying_trot_foot_step_planner(model, feet=None, first_step_factor=0.5):
+    return GaitFootStepPlanner(model, feet or FEET_DEFAULT,
+                               MPCFlyingTrot.CYCLE, first_step_factor)

@@ -20,7 +20,7 @@ class StepSwingFootRef:
     x_prev: jnp.ndarray      # (K, 3)
     x_next: jnp.ndarray      # (K, 3)
     t_start: jnp.ndarray     # (K,) swing start times (sorted)
-    swing_time: jnp.ndarray  # scalar
+    swing_time: jnp.ndarray  # scalar or (K,) per-swing duration
     step_height: jnp.ndarray
     valid: jnp.ndarray       # (K,) 1.0 where the slot holds a real swing
 
@@ -28,9 +28,11 @@ class StepSwingFootRef:
         k = jnp.clip(jnp.searchsorted(self.t_start, t, side="right") - 1,
                      0, self.t_start.shape[0] - 1)
         tau = t - self.t_start[k]
-        in_swing = (tau >= 0.0) & (tau <= self.swing_time) & \
+        dur = self.swing_time[k] if self.swing_time.ndim else \
+            self.swing_time
+        in_swing = (tau >= 0.0) & (tau <= dur) & \
             (self.valid[k] > 0)
-        phase = jnp.clip(tau / self.swing_time, 0.0, 1.0)
+        phase = jnp.clip(tau / dur, 0.0, 1.0)
         pos = self.x_prev[k] + phase * (self.x_next[k] - self.x_prev[k])
         # triangular height ramp (reference mpc_periodic_swing_foot_ref
         # .cpp:100-105)

@@ -39,6 +39,7 @@ class ContactSchedule:
         self.default_friction = default_friction
         self.phases: List[ContactPhase] = []
         self.event_is_impact: List[bool] = []   # between phase i and i+1
+        self.event_sto: List[bool] = []         # optimize this event's time?
 
     def init(self, active, placements, friction=None, t0: float = 0.0):
         self.phases = [ContactPhase(
@@ -46,9 +47,14 @@ class ContactSchedule:
             np.full(self.nc, self.default_friction)
             if friction is None else np.asarray(friction, float), t0)]
         self.event_is_impact = []
+        self.event_sto = []
         return self
 
-    def push_back(self, active, placements, time: float, friction=None):
+    def push_back(self, active, placements, time: float, friction=None,
+                  sto: bool = False):
+        """Append a phase; `sto` marks the transition time as a decision
+        variable for switching-time optimization (reference
+        contact_sequence.hpp:82-99 push_back(..., sto))."""
         prev = self.phases[-1]
         active = np.asarray(active, bool)
         was = prev.active
@@ -58,11 +64,14 @@ class ContactSchedule:
             np.full(self.nc, self.default_friction)
             if friction is None else np.asarray(friction, float), time))
         self.event_is_impact.append(is_impact)
+        self.event_sto.append(bool(sto))
 
     def pop_front(self):
         if len(self.phases) > 1:
             self.phases.pop(0)
             self.event_is_impact.pop(0)
+            if self.event_sto:
+                self.event_sto.pop(0)
 
     def phase_at(self, t: float) -> ContactPhase:
         ph = self.phases[0]

@@ -83,3 +83,65 @@ def solve(data: LQRData, dx0):
     policy = backward(data)
     dx, du, dlmd = forward(data, policy, dx0)
     return dx, du, dlmd, policy
+
+
+# ---------------------------------------------------------------------------
+# Multi-RHS affine solves (shared matrix factorization, batched vector parts)
+# ---------------------------------------------------------------------------
+# Used by the switching-time optimization Schur complement
+# (solver/sto_solver.py): the coupled KKT system over (directions, dts) is
+# block-eliminated by solving the SAME block-tridiagonal system for E+1
+# right-hand sides — the base KKT residual plus the E cross-derivative
+# columns d(residual)/d(ts_k). P and K depend only on the Hessian blocks, so
+# the extra RHS cost is one batched vector backward/forward scan (R vectors
+# ride the same per-stage dense blocks on the MXU). The reference instead
+# threads dedicated STO rows through its serial recursion
+# (reference: src/riccati/riccati_factorizer.cpp:93-142).
+
+def backward_vec(data: LQRData, P_all, lx_b, lu_b, xres_b, lxN_b):
+    """Vector-part backward sweep for a batch of RHS.
+
+    P_all: (N+1, nx, nx) from a prior `backward`. lx_b/lu_b/xres_b:
+    (N, R, ·); lxN_b: (R, nx). Returns (p_b (N+1, R, nx), k_b (N, R, nu)).
+    """
+
+    def step(p_next, blk):
+        A, B, Qxu, Quu, lxb, lub, xrb, P_next = blk
+        Pxr_p = xrb @ P_next.T + p_next            # (R, nx)
+        gu = lub + Pxr_p @ B                       # (R, nu)
+        G = Quu + B.T @ P_next @ B
+        H = Qxu + A.T @ P_next @ B
+        c, lower = cho_factor(G)
+        k = -cho_solve((c, lower), gu.T).T
+        p = lxb + Pxr_p @ A + k @ H.T
+        return p, (p, k)
+
+    _, (ps, ks) = jax.lax.scan(
+        step, lxN_b,
+        (data.A, data.B, data.Qxu, data.Quu, lx_b, lu_b, xres_b, P_all[1:]),
+        reverse=True)
+    p_all = jnp.concatenate([ps, lxN_b[None]], axis=0)
+    return p_all, ks
+
+
+def forward_vec(data: LQRData, K_all, P_all, p_b, k_b, xres_b, dx0_b):
+    """Batched forward rollout: dx' = (A + B K) dx + B k_b + xres_b.
+    Returns (dx_b (N+1, R, nx), du_b (N, R, nu), dlmd_b (N+1, R, nx))."""
+
+    def step(dx, blk):
+        A, B, K, kb, xrb = blk
+        du = dx @ K.T + kb
+        dx1 = dx @ A.T + du @ B.T + xrb
+        return dx1, (dx, du)
+
+    dxN, (dxs, dus) = jax.lax.scan(
+        step, dx0_b, (data.A, data.B, K_all, k_b, xres_b))
+    dx_all = jnp.concatenate([dxs, dxN[None]], axis=0)
+    dlmd = jnp.einsum("nij,nrj->nri", P_all, dx_all) + p_b
+    return dx_all, dus, dlmd
+
+
+def solve_columns(data: LQRData, policy, lx_b, lu_b, xres_b, lxN_b, dx0_b):
+    """Solve the factored system for extra RHS columns, reusing policy.P/K."""
+    p_b, k_b = backward_vec(data, policy.P, lx_b, lu_b, xres_b, lxN_b)
+    return forward_vec(data, policy.K, policy.P, p_b, k_b, xres_b, dx0_b)

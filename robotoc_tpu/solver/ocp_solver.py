@@ -14,7 +14,7 @@ stages land next), joint limits + friction cones, fixed barrier parameter.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,37 +107,9 @@ class OCPSolver:
                       f_init: Optional[jnp.ndarray] = None) -> Solution:
         """Warm start: constant (q, v), forces distributing the weight over
         active contacts (reference mpc_* init pattern)."""
-        m = self.model
-        n1 = self.n_slots
-        nf = 3 * self.contacts.n_contacts
-        dtype = m.dtype
-        q = jnp.broadcast_to(jnp.asarray(q, dtype), (n1, m.nq))
-        v = jnp.broadcast_to(jnp.asarray(v, dtype), (n1, m.nv))
-        znv = jnp.zeros((n1, m.nv), dtype)
-        if f_init is None:
-            # distribute weight: mg / n_active on each active contact (z)
-            n_active = jnp.maximum(jnp.sum(grid.contact_mask, axis=1), 1.0)
-            fz = m.total_mass * 9.81 / n_active
-            f_init = jnp.zeros((n1, nf), dtype)
-            for c in range(self.contacts.n_contacts):
-                f_init = f_init.at[:, 3 * c + 2].set(
-                    fz * grid.contact_mask[:, c])
-        e_lim = jl.constraint_values(self.model, self.limits, q[:-1], v[:-1],
-                                     jnp.zeros((n1 - 1, m.dimu), dtype))
-        s_lim, z_lim = pdipm.init_slack_dual(e_lim, self.options.barrier,
-                                             self.limits.mask)
-        cone_mask = jnp.repeat(grid.contact_mask[:-1], 5, axis=1) > 0
-        g_cone = jax.vmap(
-            lambda qq, ff, fr: fc.residual_and_jac(
-                m, self.contacts, qq, ff, fr)[0])(
-            q[:-1], f_init[:-1], grid.friction[:-1])
-        s_cone, z_cone = pdipm.init_slack_dual(g_cone, self.options.barrier,
-                                               cone_mask)
-        return Solution(q=q, v=v, a=znv, u=jnp.zeros((n1, m.dimu), dtype),
-                        f=f_init, lmd=znv, gmm=znv, beta=znv,
-                        mu=jnp.zeros((n1, nf), dtype),
-                        s_lim=s_lim, z_lim=z_lim,
-                        s_cone=s_cone, z_cone=z_cone)
+        return make_initial_solution(self.model, self.contacts, self.limits,
+                                     self.options.barrier, grid, q, v,
+                                     f_init)
 
     def solve(self, grid: GridData, q_init, v_init,
               sol: Optional[Solution] = None, costs=None):
@@ -161,6 +133,58 @@ class OCPSolver:
 
 
 # ---------------------------------------------------------------------------
+
+def make_initial_solution(model, contacts, limits, barrier,
+                          grid: GridData, q, v,
+                          f_init: Optional[jnp.ndarray] = None) -> Solution:
+    """Constant-(q, v) warm start; stance forces share the robot's weight;
+    PDIPM slacks/duals initialized strictly feasible
+    (reference: initConstraints / mpc_* init pattern)."""
+    m = model
+    n1 = grid.n_slots
+    nf = 3 * contacts.n_contacts
+    dtype = m.dtype
+    q = jnp.broadcast_to(jnp.asarray(q, dtype), (n1, m.nq))
+    v = jnp.broadcast_to(jnp.asarray(v, dtype), (n1, m.nv))
+    znv = jnp.zeros((n1, m.nv), dtype)
+    if f_init is None:
+        # distribute weight: mg / n_active on each active contact (z)
+        n_active = jnp.maximum(jnp.sum(grid.contact_mask, axis=1), 1.0)
+        fz = m.total_mass * 9.81 / n_active
+        f_init = jnp.zeros((n1, nf), dtype)
+        for c in range(contacts.n_contacts):
+            f_init = f_init.at[:, 3 * c + 2].set(
+                fz * grid.contact_mask[:, c])
+    sol = Solution(q=q, v=v, a=znv, u=jnp.zeros((n1, m.dimu), dtype),
+                   f=f_init, lmd=znv, gmm=znv, beta=znv,
+                   mu=jnp.zeros((n1, nf), dtype),
+                   s_lim=jnp.zeros((n1 - 1, 0), dtype),
+                   z_lim=jnp.zeros((n1 - 1, 0), dtype),
+                   s_cone=jnp.zeros((n1 - 1, 0), dtype),
+                   z_cone=jnp.zeros((n1 - 1, 0), dtype))
+    return reinit_constraints(model, contacts, limits, barrier, grid, sol)
+
+
+def reinit_constraints(model, contacts, limits, barrier, grid: GridData,
+                       sol: Solution) -> Solution:
+    """(Re-)initialize the PDIPM slack/dual variables from the current
+    primal iterate (reference dms_.initConstraints, called at solver init
+    and after every mesh refinement, ocp_solver.cpp:164,196)."""
+    m = model
+    e_lim = jl.constraint_values(m, limits, sol.q[:-1], sol.v[:-1],
+                                 sol.u[:-1])
+    s_lim, z_lim = pdipm.init_slack_dual(e_lim, barrier, limits.mask)
+    cone_mask = jnp.repeat(grid.contact_mask[:-1], 5, axis=1) > 0
+    g_cone = jax.vmap(
+        lambda qq, ff, fr: fc.residual_and_jac(
+            m, contacts, qq, ff, fr)[0])(
+        sol.q[:-1], sol.f[:-1] * jnp.repeat(grid.contact_mask[:-1], 3,
+                                            axis=1),
+        grid.friction[:-1])
+    s_cone, z_cone = pdipm.init_slack_dual(g_cone, barrier, cone_mask)
+    return sol.replace(s_lim=s_lim, z_lim=z_lim, s_cone=s_cone,
+                       z_cone=z_cone)
+
 
 def _build(model, contacts, limits, barrier, enable_impacts,
            costs, sol: Solution, grid: GridData, q_init, v_init):
@@ -205,13 +229,30 @@ def _build(model, contacts, limits, barrier, enable_impacts,
     return data, blocks, dx0, kkt_sq, total_cost
 
 
-def _update(model, contacts, limits, barrier, ftb, enable_impacts,
-            costs, sol: Solution, grid: GridData, q_init, v_init,
-            riccati=lqr, enable_ls=False):
-    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, limits,
-                                          barrier, enable_impacts, costs,
-                                          sol, grid, q_init, v_init)
-    dx, du, dlmd_all, _ = riccati.solve(data, dx0)
+class Directions(NamedTuple):
+    """Full primal-dual Newton direction, expanded from the LQR solve."""
+    dq_all: jnp.ndarray
+    dv_all: jnp.ndarray
+    da: jnp.ndarray
+    du: jnp.ndarray
+    df: jnp.ndarray
+    dlmd: jnp.ndarray
+    dgmm: jnp.ndarray
+    dbeta: jnp.ndarray
+    dmu: jnp.ndarray
+    ds_lim: jnp.ndarray
+    dz_lim: jnp.ndarray
+    ds_cone: jnp.ndarray
+    dz_cone: jnp.ndarray
+    cone_mask: jnp.ndarray
+
+
+def _expand_directions(model, contacts, limits, barrier, enable_impacts,
+                       blocks, sol: Solution, grid: GridData,
+                       dx, du, dlmd_all) -> Directions:
+    """Recover (da, df, dbeta, dmu, slack/dual dirs) for every grid from the
+    LQR directions (reference expandPrimal/expandDual, OMP loop
+    direct_multiple_shooting.cpp) — one vmapped kernel."""
     nv = model.nv
     dq, dv = dx[:-1, :nv], dx[:-1, nv:]
     dqN, dvN = dx[-1, :nv], dx[-1, nv:]
@@ -248,17 +289,67 @@ def _update(model, contacts, limits, barrier, ftb, enable_impacts,
         dz_lim = sel(jnp.zeros_like(dz_lim), dz_lim)
         cone_mask = cone_mask | (jnp.repeat(
             grid.imp_mask[:-1], 5, axis=1) > 0)
-    a_p = jnp.minimum(
-        pdipm.fraction_to_boundary(sol.s_lim, ds_lim, ftb, limits.mask),
-        pdipm.fraction_to_boundary(sol.s_cone, ds_cone, ftb, cone_mask))
-    a_d = jnp.minimum(
-        pdipm.fraction_to_boundary(sol.z_lim, dz_lim, ftb, limits.mask),
-        pdipm.fraction_to_boundary(sol.z_cone, dz_cone, ftb, cone_mask))
-    # separate primal/dual step sizes (reference updatePrimal/updateDual)
     dq_all = jnp.concatenate([dq, dqN[None]], axis=0)
     dv_all = jnp.concatenate([dv, dvN[None]], axis=0)
-    pad0_ls = lambda x: jnp.concatenate(
+    return Directions(dq_all=dq_all, dv_all=dv_all, da=da, du=du, df=df,
+                      dlmd=dlmd, dgmm=dgmm, dbeta=dbeta, dmu=dmu,
+                      ds_lim=ds_lim, dz_lim=dz_lim, ds_cone=ds_cone,
+                      dz_cone=dz_cone, cone_mask=cone_mask)
+
+
+def _step_sizes(limits, ftb, sol: Solution, d: Directions):
+    """Fraction-to-boundary primal/dual step sizes."""
+    a_p = jnp.minimum(
+        pdipm.fraction_to_boundary(sol.s_lim, d.ds_lim, ftb, limits.mask),
+        pdipm.fraction_to_boundary(sol.s_cone, d.ds_cone, ftb, d.cone_mask))
+    a_d = jnp.minimum(
+        pdipm.fraction_to_boundary(sol.z_lim, d.dz_lim, ftb, limits.mask),
+        pdipm.fraction_to_boundary(sol.z_cone, d.dz_cone, ftb, d.cone_mask))
+    return a_p, a_d
+
+
+def _pad0(x):
+    return jnp.concatenate(
         [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def _integrate_solution(model, sol: Solution, d: Directions, a_p, a_d):
+    """Manifold primal update + dual update with separate step sizes
+    (reference updatePrimal/updateDual)."""
+    return Solution(
+        q=rm.integrate(model, sol.q, a_p * d.dq_all),
+        v=sol.v + a_p * d.dv_all,
+        a=sol.a + a_p * _pad0(d.da),
+        u=sol.u + a_p * _pad0(d.du),
+        f=sol.f + a_p * _pad0(d.df),
+        lmd=sol.lmd + a_p * d.dlmd,
+        gmm=sol.gmm + a_p * d.dgmm,
+        beta=sol.beta + a_p * _pad0(d.dbeta),
+        mu=sol.mu + a_p * _pad0(d.dmu),
+        s_lim=sol.s_lim + a_p * d.ds_lim,
+        z_lim=sol.z_lim + a_d * d.dz_lim,
+        s_cone=sol.s_cone + a_p * d.ds_cone,
+        z_cone=sol.z_cone + a_d * d.dz_cone,
+    )
+
+
+def _update(model, contacts, limits, barrier, ftb, enable_impacts,
+            costs, sol: Solution, grid: GridData, q_init, v_init,
+            riccati=lqr, enable_ls=False):
+    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, limits,
+                                          barrier, enable_impacts, costs,
+                                          sol, grid, q_init, v_init)
+    dx, du, dlmd_all, policy = riccati.solve(data, dx0)
+    d = _expand_directions(model, contacts, limits, barrier, enable_impacts,
+                           blocks, sol, grid, dx, du, dlmd_all)
+    (da, df, dbeta, dmu, ds_lim, dz_lim, ds_cone, dz_cone) = (
+        d.da, d.df, d.dbeta, d.dmu, d.ds_lim, d.dz_lim, d.ds_cone,
+        d.dz_cone)
+    du = d.du
+    dlmd, dgmm = d.dlmd, d.dgmm
+    a_p, a_d = _step_sizes(limits, ftb, sol, d)
+    dq_all, dv_all = d.dq_all, d.dv_all
+    pad0_ls = _pad0
     if enable_ls:
         from ..line_search import line_search as ls
 
@@ -281,24 +372,8 @@ def _update(model, contacts, limits, barrier, ftb, enable_impacts,
             return c + rho * v
 
         a_p = ls.search(trial, merit, a_p)
-    pad0 = lambda x: jnp.concatenate(
-        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
-    new = Solution(
-        q=rm.integrate(model, sol.q, a_p * dq_all),
-        v=sol.v + a_p * dv_all,
-        a=sol.a + a_p * pad0(da),
-        u=sol.u + a_p * pad0(du),
-        f=sol.f + a_p * pad0(df),
-        lmd=sol.lmd + a_p * dlmd,
-        gmm=sol.gmm + a_p * dgmm,
-        beta=sol.beta + a_p * pad0(dbeta),
-        mu=sol.mu + a_p * pad0(dmu),
-        s_lim=sol.s_lim + a_p * ds_lim,
-        z_lim=sol.z_lim + a_d * dz_lim,
-        s_cone=sol.s_cone + a_p * ds_cone,
-        z_cone=sol.z_cone + a_d * dz_cone,
-    )
-    return new, jnp.sqrt(kkt_sq), a_p
+    new = _integrate_solution(model, sol, d, a_p, a_d)
+    return new, jnp.sqrt(kkt_sq), a_p, policy
 
 
 def _kkt_error(model, contacts, limits, barrier, enable_impacts,
@@ -317,9 +392,9 @@ def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
 
     def body(state):
         s, it, _, _ = state
-        new, _, alpha = _update(model, contacts, limits, barrier, ftb,
-                                enable_impacts, costs, s, grid, q_init,
-                                v_init, riccati=riccati)
+        new, _, alpha, _ = _update(model, contacts, limits, barrier, ftb,
+                                   enable_impacts, costs, s, grid, q_init,
+                                   v_init, riccati=riccati)
         kkt = _kkt_error(model, contacts, limits, barrier,
                          enable_impacts, costs, new, grid, q_init, v_init)
         return new, it + 1, kkt, alpha

@@ -50,7 +50,7 @@ def _solve(n_iter=12):
     v0 = jnp.zeros(18)
     sol = solver.init_solution(grid, Q_STANDING, v0)
     for _ in range(n_iter):
-        sol, _, _ = upd(sol, grid, Q_STANDING, v0)
+        sol, _, _, _ = upd(sol, grid, Q_STANDING, v0)
     return m, sol, float(ke(sol, grid, Q_STANDING, v0))
 
 

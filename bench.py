@@ -2,16 +2,19 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Current metric (round 1 interim, upgraded to ANYmal trot MPC as the contact
-pipeline lands): scenario-batched MPC-style solver updates/s on the iiwa14
-config-space OCP (T=1, N=20, joint limits PDIPM), f32, max_iter=2 per update
-— the reference's MPC cadence (examples/a1/mpc/trot.py: max_iter=2, 2.5 ms
-budget => 400 updates/s/core). vs_baseline = aggregate updates/s / 400.
+Flagship metric (BASELINE.json north star): scenario-batched whole-body MPC
+updates/s on the ANYmal trot problem — contact dynamics + friction-cone
+PDIPM + impact slots, T=0.5, N=20, max_iter=2 Newton updates per MPC step,
+f32 — the reference's MPC cadence (examples/a1/mpc/trot.py: max_iter=2 at
+400 Hz => 2.5 ms/update budget per CPU). vs_baseline = aggregate batched
+updates/s / 400 (the single-core reference cadence).
 """
 import json
 import math
 import os
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -22,59 +25,70 @@ os.makedirs(os.path.expanduser("~/.cache/robotoc_tpu_xla"), exist_ok=True)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/robotoc_tpu_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# f32 Riccati/condensing needs true f32 matmuls: the MXU's default bf16
+# passes lose too much precision for the ill-conditioned cost Hessians
+# (q_weight 2.5e5 vs a_weight 1e-6).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def main():
-    from robotoc_tpu.constraints.joint_limits import make_joint_limits
-    from robotoc_tpu.costs.config_cost import make_config_cost
     from robotoc_tpu.models import load_robot
-    from robotoc_tpu.solver import unconstr_ocp_solver as S
-    from robotoc_tpu.solver.unconstr_ocp_solver import UnconstrOCPSolver
+    from robotoc_tpu.mpc.mpc_trot import MPCTrot
+    from robotoc_tpu.solver import ocp_solver as OS
 
     dtype = jnp.float32
-    m = load_robot("iiwa14", dtype=dtype)
-    cost = make_config_cost(
-        m, q_ref=jnp.asarray([0, math.pi / 2, 0, math.pi / 2, 0,
-                              math.pi / 2, 0], dtype),
-        q_weight=10, v_weight=0.01, a_weight=0.01,
-        q_weight_terminal=10, v_weight_terminal=0.01)
-    lim = make_joint_limits(m, u_limit=jnp.full(7, 50.0, dtype),
-                            v_limit=jnp.full(7, math.pi / 2, dtype))
-    solver = UnconstrOCPSolver(m, cost, lim, T=1.0, N=20)
-    q0 = jnp.asarray([math.pi / 2, 0, math.pi / 2, 0, math.pi / 2, 0,
-                      math.pi / 2], dtype)
-    v0 = jnp.zeros(7, dtype)
+    m = load_robot("anymal", dtype=dtype)
+    T, N = 0.5, 20
+    mpc = MPCTrot(m, T=T, N=N)
+    planner = mpc.make_planner()
+    planner.set_gait_pattern(np.array([0.15, 0, 0]), 0.0)
+    mpc.set_gait_pattern(planner, swing_height=0.1, swing_time=0.25,
+                         stance_time=0.0, swing_start_time=0.5)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0],
+                     dtype)
+    v0 = jnp.zeros(18, dtype)
+    mpc.planner.init(q0)
+    mpc.config_cost = mpc.config_cost.replace(q_ref=q0)
+    # mid-gait grid: one lift + one touchdown impact inside the horizon
+    grid, costs = mpc._build_schedule_and_costs(0.35, q0, v0)
+    solver = OS.OCPSolver(m, mpc.contacts, costs, mpc.limits, T=T, N=N,
+                          n_reserved_events=mpc.n_reserved)
+    sol0 = solver.init_solution(grid, q0, v0)
 
-    B = 256  # scenario batch
-    sol0 = solver.init_solution(q0, v0)
+    B = 128  # scenario batch (MPC fleet)
     sols = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), sol0)
     key = jax.random.PRNGKey(0)
-    q0s = q0 + 0.1 * jax.random.normal(key, (B, 7), dtype)
-    v0s = jnp.zeros((B, 7), dtype)
+    dq = 0.03 * jax.random.normal(key, (B, 18), dtype)
+    from robotoc_tpu.models import robot as rm
+    q0s = jax.vmap(lambda d: rm.integrate(m, q0, d))(dq)
+    v0s = jnp.zeros((B, 18), dtype)
 
     def mpc_update(sol, q0, v0):
         # max_iter=2 Newton updates (reference MPC cadence)
         for _ in range(2):
-            sol, kkt, alpha, _ = S._update(
-                solver.model, solver.cost, solver.limits, solver.dt,
-                solver.options.barrier,
-                solver.options.fraction_to_boundary_rule, sol, q0, v0)
+            sol, kkt, alpha, _ = OS._update(
+                m, mpc.contacts, mpc.limits, 1e-3, 0.995, True,
+                costs, sol, grid, q0, v0)
         return sol, kkt
 
     step = jax.jit(jax.vmap(mpc_update))
-    sols, kkt = step(sols, q0s, v0s)
+    sols_w, kkt = step(sols, q0s, v0s)
     jax.block_until_ready(kkt)
+    if not bool(jnp.all(jnp.isfinite(kkt))):
+        raise RuntimeError("non-finite KKT in warmup")
 
-    n_rep = 20
+    n_rep = 10
     t0 = time.perf_counter()
+    sols_t = sols
     for _ in range(n_rep):
-        sols, kkt = step(sols, q0s, v0s)
+        sols_t, kkt = step(sols_t, q0s, v0s)
     jax.block_until_ready(kkt)
     dt_s = (time.perf_counter() - t0) / n_rep
     updates_per_s = B / dt_s
     print(json.dumps({
-        "metric": "iiwa14 N=20 MPC updates/s (B=256 scenarios, "
-                  "max_iter=2, f32)",
+        "metric": "ANYmal trot whole-body MPC updates/s "
+                  "(N=20, B=128 scenarios, max_iter=2, f32, 1 chip)",
         "value": round(updates_per_s, 1),
         "unit": "updates/s",
         "vs_baseline": round(updates_per_s / 400.0, 2),

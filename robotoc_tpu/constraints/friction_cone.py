@@ -1,15 +1,19 @@
-"""Linearized friction-cone constraint (5 facets per point contact).
+"""Linearized contact cones: friction pyramid (point) + wrench cone (surface).
 
-Reference: src/constraints/friction_cone.cpp:12-99 + friction_cone.hpp:102-120.
-Per contact, with the WORLD-frame force f_W = R_frame(q) @ f_local and a
-ground-surface rotation R_s (identity for flat ground):
-    f_s = R_s^T f_W
+Reference: src/constraints/friction_cone.cpp:12-99 (5 facets per point
+contact, world frame) and src/constraints/contact_wrench_cone.cpp
+computeCone/updateCone (17 rows per surface contact, local frame, rectangular
+foot X x Y). Per point contact, with the WORLD-frame force
+f_W = R_frame(q) @ f_local:
     g = [ -fz ; fx - c fz ; -fx - c fz ; fy - c fz ; -fy - c fz ] <= 0,
     c = mu / sqrt(2)     (inner pyramid approximation).
+Per surface contact the 17-row wrench cone acts on the LOCAL wrench directly
+(the foot frame is assumed surface-aligned, as in the reference).
 
-The q-dependence (through the contact-frame rotation) is kept, as in the
-reference. Rows of inactive contacts are masked out. Stack layout:
-(nc * 5,) per grid.
+The q-dependence of the point cone (through the contact-frame rotation) is
+kept, as in the reference (friction_cone.cpp:142-175). Rows of inactive
+contacts are masked out downstream. Stack layout: sum of per-contact cone
+dims (5 or 17) per grid.
 """
 from __future__ import annotations
 
@@ -22,7 +26,7 @@ from . import pdipm
 
 
 def cone_matrix(friction_coef, dtype):
-    """(5, 3) facet matrix C s.t. g = C @ f_surface."""
+    """(5, 3) facet matrix C s.t. g = C @ f_surface (point contacts)."""
     c = friction_coef / jnp.sqrt(jnp.asarray(2.0, dtype))
     return jnp.stack([
         jnp.stack([jnp.zeros_like(c), jnp.zeros_like(c), -jnp.ones_like(c)]),
@@ -33,37 +37,85 @@ def cone_matrix(friction_coef, dtype):
     ])
 
 
-def residual_and_jac(model, contacts, q, f_stack, friction_coefs):
-    """g (nc*5,), dg/df (nc*5, nf), dg/dq (nc*5, nv) for point contacts.
+def wrench_cone_matrix(mu, X, Y, dtype):
+    """(17, 6) rectangular-foot contact wrench cone W s.t. g = W @ wrench
+    (reference contact_wrench_cone.cpp computeCone: friction pyramid, CoP
+    box, yaw-torque limits)."""
+    z = jnp.zeros_like(mu)
+    o = jnp.ones_like(mu)
+    XYmu = (X + Y) * mu
+    rows = [
+        [z, z, -o, z, z, z],
+        [-o, z, -mu, z, z, z],
+        [o, z, -mu, z, z, z],
+        [z, -o, -mu, z, z, z],
+        [z, o, -mu, z, z, z],
+        [z, z, -Y, -o, z, z],
+        [z, z, -Y, o, z, z],
+        [z, z, -X, z, -o, z],
+        [z, z, -X, z, o, z],
+        [-Y, -X, -XYmu, mu, mu, -o],
+        [-Y, X, -XYmu, mu, -mu, -o],
+        [Y, -X, -XYmu, -mu, mu, -o],
+        [Y, X, -XYmu, -mu, -mu, -o],
+        [Y, X, -XYmu, mu, mu, o],
+        [Y, -X, -XYmu, mu, -mu, o],
+        [-Y, X, -XYmu, -mu, mu, o],
+        [-Y, -X, -XYmu, -mu, -mu, o],
+    ]
+    return jnp.asarray(jnp.stack([jnp.stack(r) for r in rows]), dtype)
 
-    f_stack: (nf,) local contact-frame forces. friction_coefs: (nc,).
+
+def residual_and_jac(model, contacts, q, f_stack, friction_coefs):
+    """g (dimc_cone,), dg/df (dimc_cone, nf), dg/dq (dimc_cone, nv).
+
+    f_stack: (nf,) local contact-frame forces/wrenches.
+    friction_coefs: (nc,).
     """
     dtype = q.dtype
     R_w, p_w = rm.forward_kinematics(model, q)
-    gs, dgdf_blocks, frames = [], [], []
+    gs, blocks, frames = [], [], []
+    offs = contacts.f_offsets
     for c in range(contacts.n_contacts):
         fid = contacts.frame_ids[c]
-        Rf, _ = rm.frame_placement(model, fid, R_w, p_w)
-        fl = f_stack[3 * c:3 * c + 3]
-        fW = Rf @ fl
-        C = cone_matrix(friction_coefs[c], dtype)
-        gs.append(C @ fW)
-        dgdf_blocks.append(C @ Rf)
-        frames.append((fid, C, fl))
+        if contacts.types[c] == ct.POINT:
+            Rf, _ = rm.frame_placement(model, fid, R_w, p_w)
+            fl = f_stack[offs[c]:offs[c] + 3]
+            fW = Rf @ fl
+            C = cone_matrix(friction_coefs[c], dtype)
+            gs.append(C @ fW)
+            blocks.append(C @ Rf)
+            frames.append((fid, C, fl))
+        else:
+            wl = f_stack[offs[c]:offs[c] + 6]
+            W = wrench_cone_matrix(friction_coefs[c],
+                                   contacts.rect[c, 0],
+                                   contacts.rect[c, 1], dtype)
+            gs.append(W @ wl)
+            blocks.append(W)
+            frames.append(None)          # no q-dependence (local wrench)
     g = jnp.concatenate(gs)
 
-    nf = 3 * contacts.n_contacts
-    dgdf = jnp.zeros((5 * contacts.n_contacts, nf), dtype)
-    for c, blk in enumerate(dgdf_blocks):
-        dgdf = dgdf.at[5 * c:5 * c + 5, 3 * c:3 * c + 3].set(blk)
+    nf = contacts.max_dimf
+    dimc = contacts.dimc_cone
+    dgdf = jnp.zeros((dimc, nf), dtype)
+    r = 0
+    for c, blk in enumerate(blocks):
+        nr, ncol = blk.shape
+        dgdf = dgdf.at[r:r + nr, offs[c]:offs[c] + ncol].set(blk)
+        r += nr
 
     def g_of_q(e):
         qe = rm.integrate(model, q, e)
         Rw2, pw2 = rm.forward_kinematics(model, qe)
         out = []
-        for (fid, C, fl) in frames:
-            Rf2, _ = rm.frame_placement(model, fid, Rw2, pw2)
-            out.append(C @ (Rf2 @ fl))
+        for c, fr in enumerate(frames):
+            if fr is None:
+                out.append(jnp.zeros(17, dtype))
+            else:
+                fid, C, fl = fr
+                Rf2, _ = rm.frame_placement(model, fid, Rw2, pw2)
+                out.append(C @ (Rf2 @ fl))
         return jnp.concatenate(out)
 
     dgdq = jax.jacfwd(g_of_q)(jnp.zeros(model.nv, dtype))
@@ -71,5 +123,5 @@ def residual_and_jac(model, contacts, q, f_stack, friction_coefs):
 
 
 def row_mask(contacts, active_mask):
-    """(nc*5,) row mask from the per-contact activity mask (nc,)."""
-    return jnp.repeat(active_mask, 5)
+    """(dimc_cone,) row mask from the per-contact activity mask (nc,)."""
+    return contacts.cone_mask(active_mask)

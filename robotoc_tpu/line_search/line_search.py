@@ -34,20 +34,21 @@ def eval_ocp(model, contacts, limits, barrier, costs, sol, grid,
     state-equation gap, which dominates infeasibility there)."""
 
     def stage(t, dt, q, v, a, u, f, q_n, v_n, s_lim, s_cone, cmask, p_ref,
-              fric, is_imp):
-        rowmask = jnp.repeat(cmask, 3)
+              fric, is_imp, R_ref):
+        rowmask = contacts.force_mask(cmask)
         f_eff = f * rowmask
         fj = ct.contact_forces_to_joint(model, contacts, f_eff)
         Sact_u = jnp.concatenate(
             [jnp.zeros(model.nv - model.dimu, q.dtype), u])
         ID = rm.rnea(model, q, v, a, fj) - Sact_u
-        C = ct.baumgarte_residual(model, contacts, q, v, a, p_ref) * rowmask
+        C = ct.baumgarte_residual(model, contacts, q, v, a, p_ref,
+                                  R_ref) * rowmask
         _, _, xres_q = se.linearize(model, q, v, dt, q_n)
         Fv = v + dt * a - v_n
         c = cost_base.eval_stage(costs, model, q, v, a, u, f, t, dt)
         e_lim = jl.constraint_values(model, limits, q, v, u)
         g_cone, _, _ = fc.residual_and_jac(model, contacts, q, f_eff, fric)
-        cone_mask = jnp.repeat(cmask, 5).astype(bool)
+        cone_mask = contacts.cone_mask(cmask).astype(bool)
         bar = (pdipm.log_barrier(s_lim, barrier, limits.mask)
                + pdipm.log_barrier(s_cone, barrier, cone_mask))
         viol = (jnp.sum(jnp.abs(xres_q)) + jnp.sum(jnp.abs(Fv))
@@ -64,7 +65,7 @@ def eval_ocp(model, contacts, limits, barrier, costs, sol, grid,
         grid.t[:-1], grid.dt, sol.q[:-1], sol.v[:-1], sol.a[:-1],
         sol.u[:-1], sol.f[:-1], sol.q[1:], sol.v[1:], sol.s_lim, sol.s_cone,
         grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1],
-        grid.is_impact[:-1])
+        grid.is_impact[:-1], grid.R_ref[:-1])
     cN = cost_base.eval_terminal(costs, model, sol.q[-1], sol.v[-1],
                                  grid.t[-1])
     dq0 = rm.difference(model, sol.q[0], q_init)

@@ -35,13 +35,16 @@ class ContactModel:
     """Static contact-frame configuration for one robot.
 
     Mirrors the reference's per-Robot contact lists
-    (reference robot/robot.hpp:920-921 + contact_model_info.hpp).
+    (reference robot/robot.hpp:920-921 + contact_model_info.hpp). Mixed
+    point (3D force) / surface (6D wrench) stacks use STATIC per-contact
+    dims; activity enters as masks built by `force_mask` / `cone_mask`.
     """
     frame_ids: tuple = struct.field(pytree_node=False)
     types: tuple = struct.field(pytree_node=False)      # POINT or SURFACE
     frame_names: tuple = struct.field(pytree_node=False)
     kp: jnp.ndarray   # (nc,) Baumgarte position gain
     kv: jnp.ndarray   # (nc,) Baumgarte velocity gain
+    rect: jnp.ndarray  # (nc, 2) foot rectangle (X, Y) for surface contacts
 
     @property
     def n_contacts(self) -> int:
@@ -55,11 +58,43 @@ class ContactModel:
     def max_dimf(self) -> int:
         return sum(self.types)
 
+    @property
+    def f_offsets(self):
+        off, out = 0, []
+        for d in self.types:
+            out.append(off)
+            off += d
+        return tuple(out)
+
+    @property
+    def cone_dims(self):
+        """Rows of the linearized cone per contact: 5-facet friction
+        pyramid (point) or 17-row rectangular contact wrench cone
+        (surface; reference contact_wrench_cone.cpp computeCone)."""
+        return tuple(5 if t == POINT else 17 for t in self.types)
+
+    @property
+    def dimc_cone(self) -> int:
+        return sum(self.cone_dims)
+
+    def force_mask(self, cmask):
+        """(nc,) activity -> (max_dimf,) per-force-row mask."""
+        return jnp.repeat(cmask, np.asarray(self.types),
+                          total_repeat_length=self.max_dimf)
+
+    def cone_mask(self, cmask):
+        """(nc,) activity -> (dimc_cone,) per-cone-row mask."""
+        return jnp.repeat(cmask, np.asarray(self.cone_dims),
+                          total_repeat_length=self.dimc_cone)
+
 
 def make_contacts(model: rm.RobotModel, frame_names, types=None,
-                  baumgarte_time_step: float = 0.04) -> ContactModel:
+                  baumgarte_time_step: float = 0.04,
+                  rect=(0.05, 0.025)) -> ContactModel:
     """Baumgarte gains from a characteristic time step: Kv = 2/T, Kp = 1/T^2
-    (reference contact_model_info.hpp:8-23)."""
+    (reference contact_model_info.hpp:8-23). `rect` = (X, Y) foot half
+    extents for surface contacts (reference contact_wrench_cone.hpp:66
+    setRectangular)."""
     n = len(frame_names)
     if types is None:
         types = (POINT,) * n
@@ -71,6 +106,7 @@ def make_contacts(model: rm.RobotModel, frame_names, types=None,
         frame_names=tuple(frame_names),
         kp=jnp.full((n,), kp, dtype=model.dtype),
         kv=jnp.full((n,), kv, dtype=model.dtype),
+        rect=jnp.broadcast_to(jnp.asarray(rect, model.dtype), (n, 2)),
     )
 
 
@@ -121,13 +157,15 @@ def _frame_state(model, contacts, c, q, v, a):
 # ---------------------------------------------------------------------------
 
 def baumgarte_residual(model: rm.RobotModel, contacts: ContactModel,
-                       q, v, a, p_ref):
+                       q, v, a, p_ref, R_ref=None):
     """Stacked Baumgarte residual over ALL contacts: (..., max_dimf).
 
-    p_ref: (nc, 3) desired world contact positions for point contacts, or
-    (nc, 3, 4)-style placements are handled by the surface variant (v1:
-    point contacts; surface support via `baumgarte_residual_surface`).
-    """
+    p_ref: (nc, 3) desired world contact positions; R_ref: (nc, 3, 3)
+    desired world contact rotations (surface contacts only; identity if
+    None). Point: classical frame acceleration + Kv * linear velocity
+    + Kp * position error (reference point_contact.hxx:17-120). Surface:
+    spatial frame acceleration + Kv * spatial velocity
+    + Kp * log6(M_ref^{-1} M(q)) (reference surface_contact.hxx)."""
     res = []
     for c in range(contacts.n_contacts):
         Rw, pw, vf, af = _frame_state(model, contacts, c, q, v, a)
@@ -137,7 +175,19 @@ def baumgarte_residual(model: rm.RobotModel, contacts: ContactModel,
                  + contacts.kp[c] * (pw - p_ref[..., c, :]))
             res.append(r)
         else:
-            raise NotImplementedError("surface contacts: use *_surface")
+            Rr = (jnp.eye(3, dtype=q.dtype) if R_ref is None
+                  else R_ref[..., c, :, :])
+            pr = p_ref[..., c, :]
+            # log6 of the relative placement M_ref^{-1} M(q), expressed in
+            # the contact frame (reference surface_contact.hxx placement
+            # residual)
+            R_rel = jnp.swapaxes(Rr, -1, -2) @ Rw
+            p_rel = (jnp.swapaxes(Rr, -1, -2)
+                     @ (pw - pr)[..., None])[..., 0]
+            from ..ops import lie as _lie
+            err6 = _lie.se3_log(R_rel, p_rel)
+            r = af + contacts.kv[c] * vf + contacts.kp[c] * err6
+            res.append(r)
     return jnp.concatenate(res, axis=-1)
 
 
@@ -193,15 +243,15 @@ def contact_forces_to_joint(model: rm.RobotModel, contacts: ContactModel,
 # closed-form frame-acceleration derivatives — robot.hpp:460-534)
 # ---------------------------------------------------------------------------
 
-def baumgarte_derivatives(model, contacts, q, v, a, p_ref):
+def baumgarte_derivatives(model, contacts, q, v, a, p_ref, R_ref=None):
     """(dB/dq, dB/dv, dB/da), each (..., max_dimf, nv)."""
     z = jnp.zeros(model.nv, dtype=model.dtype)
     dq = jax.jacfwd(lambda e: baumgarte_residual(
-        model, contacts, rm.integrate(model, q, e), v, a, p_ref))(z)
+        model, contacts, rm.integrate(model, q, e), v, a, p_ref, R_ref))(z)
     dv = jax.jacfwd(lambda e: baumgarte_residual(
-        model, contacts, q, v + e, a, p_ref))(z)
+        model, contacts, q, v + e, a, p_ref, R_ref))(z)
     da = jax.jacfwd(lambda e: baumgarte_residual(
-        model, contacts, q, v, a + e, p_ref))(z)
+        model, contacts, q, v, a + e, p_ref, R_ref))(z)
     return dq, dv, da
 
 

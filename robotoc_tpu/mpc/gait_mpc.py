@@ -52,13 +52,15 @@ class PeriodicGaitMPC:
     def __init__(self, model: rm.RobotModel, T: float, N: int,
                  feet=None, friction_coefficient: float = 0.5,
                  options: SolverOptions = SolverOptions(max_iter=2),
-                 baumgarte_time_step: float = 0.05):
+                 baumgarte_time_step: float = 0.05,
+                 contact_types=None, rect=(0.05, 0.025)):
         self.model = model
         feet = feet or FEET_DEFAULT
         self.feet = feet
         self.nc = len(feet)
         self.contacts = ct.make_contacts(
-            model, feet, baumgarte_time_step=baumgarte_time_step)
+            model, feet, types=contact_types,
+            baumgarte_time_step=baumgarte_time_step, rect=rect)
         self.T, self.N = float(T), int(N)
         self.friction = friction_coefficient
         nv, dimu = model.nv, model.dimu
@@ -337,6 +339,56 @@ class MPCFlyingTrot(PeriodicGaitMPC):
                                  stance_time=0.0,
                                  swing_start_time=swing_start_time,
                                  flying_time=flying_time)
+
+
+class MPCBipedWalk(PeriodicGaitMPC):
+    """Humanoid walking MPC with surface contacts + contact wrench cones
+    (reference src/mpc/mpc_biped_walk.cpp:40-100, examples/icub/mpc/walk.py).
+    Feet order (l_sole, r_sole); the right foot swings first
+    (mpc_biped_walk.cpp:288)."""
+    CYCLE = ((1,), (0,))
+    FEET_BIPED = ["l_sole", "r_sole"]
+
+    def __init__(self, model: rm.RobotModel, T: float, N: int,
+                 feet=None, friction_coefficient: float = 0.5,
+                 options: SolverOptions = SolverOptions(max_iter=2),
+                 baumgarte_time_step: float = 0.05,
+                 wrench_cone_rect=(0.1, 0.05)):
+        feet = feet or self.FEET_BIPED
+        super().__init__(model, T, N, feet=feet,
+                         friction_coefficient=friction_coefficient,
+                         options=options,
+                         baumgarte_time_step=baumgarte_time_step,
+                         contact_types=(ct.SURFACE,) * len(feet),
+                         rect=wrench_cone_rect)
+        nv, dimu = model.nv, model.dimu
+        dt = model.dtype
+        # biped cost stack (mpc_biped_walk.cpp:42-68: config 0.001 joints +
+        # base-rot 1000, v 1.0, u 1e-2; impact q 1/rot 1000, dv 1e-2)
+        self.config_cost = make_config_cost(
+            model,
+            q_weight=jnp.asarray([0, 0, 0, 1000, 1000, 1000]
+                                 + [0.001] * (nv - 6), dt),
+            v_weight=jnp.full(nv, 1.0, dt),
+            a_weight=jnp.full(nv, 1e-6, dt),
+            u_weight=jnp.full(dimu, 1e-2, dt),
+            q_weight_terminal=jnp.asarray(
+                [0, 0, 0, 1000, 1000, 1000] + [0.001] * (nv - 6), dt),
+            v_weight_terminal=jnp.full(nv, 1.0, dt),
+            q_weight_impact=jnp.asarray(
+                [0, 0, 0, 1000, 1000, 1000] + [1.0] * (nv - 6), dt),
+            v_weight_impact=jnp.full(nv, 1.0, dt),
+            dv_weight_impact=jnp.full(nv, 1e-2, dt),
+        )
+        self.foot_weight = jnp.full(3, 1e4, dt)
+        self.com_weight = jnp.full(3, 1e3, dt)
+
+    def set_wrench_cone_rectangular(self, X: float, Y: float):
+        """(reference ContactWrenchCone::setRectangular +
+        examples/icub/mpc/walk.py:38-41)."""
+        self.contacts = self.contacts.replace(
+            rect=jnp.broadcast_to(
+                jnp.asarray([X, Y], self.model.dtype), (self.nc, 2)))
 
 
 def pace_foot_step_planner(model, feet=None, first_step_factor=0.5):

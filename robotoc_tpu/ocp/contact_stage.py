@@ -69,14 +69,15 @@ class StageBlocks(NamedTuple):
 def stage_eval(model, contacts, costs, limits, t, dt, barrier,
                q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
                q_n, v_n, s_lim, z_lim, s_cone, z_cone,
-               cmask, p_ref, fric):
+               cmask, p_ref, fric, R_ref=None):
     """One intermediate grid. costs: tuple of cost components
-    (costs/base.py); cmask: (nc,) activity; p_ref: (nc, 3)."""
+    (costs/base.py); cmask: (nc,) activity; p_ref: (nc, 3);
+    R_ref: (nc, 3, 3) surface-contact rotation refs (None = identity)."""
     nv, nu_dim = model.nv, model.dimu
-    nf = 3 * contacts.n_contacts
+    nf = contacts.max_dimf
     dtype = q.dtype
-    rowmask = jnp.repeat(cmask, 3)                  # (nf,)
-    cone_mask = jnp.repeat(cmask, 5).astype(bool)   # (5nc,)
+    rowmask = contacts.force_mask(cmask)            # (nf,)
+    cone_mask = contacts.cone_mask(cmask).astype(bool)
 
     # ---- dynamics residual + derivatives -------------------------------
     f_eff = f * rowmask
@@ -87,8 +88,9 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     dIDdq, dIDdv, M = rm.rnea_derivatives(model, q, v, a, f_joint)
 
     # ---- contact (Baumgarte) residual + derivatives --------------------
-    C_res = ct.baumgarte_residual(model, contacts, q, v, a, p_ref)
-    dCdq, dCdv, J = ct.baumgarte_derivatives(model, contacts, q, v, a, p_ref)
+    C_res = ct.baumgarte_residual(model, contacts, q, v, a, p_ref, R_ref)
+    dCdq, dCdv, J = ct.baumgarte_derivatives(model, contacts, q, v, a,
+                                             p_ref, R_ref)
     C_res = C_res * rowmask
     dCdq = dCdq * rowmask[:, None]
     dCdv = dCdv * rowmask[:, None]
@@ -217,9 +219,9 @@ def expand(model, contacts, limits, barrier, blocks: StageBlocks,
     (reference contact_dynamics.cpp:167-202 expandPrimal/expandDual).
     gmm_n_new: the UPDATED next-grid velocity costate gmm' + dgmm'."""
     nv, nu_dim = model.nv, model.dimu
-    nf = 3 * contacts.n_contacts
-    rowmask = jnp.repeat(cmask, 3)
-    cone_mask = jnp.repeat(cmask, 5).astype(bool)
+    nf = contacts.max_dimf
+    rowmask = contacts.force_mask(cmask)
+    cone_mask = contacts.cone_mask(cmask).astype(bool)
     w = jnp.concatenate([dq, dv, du])
     y = blocks.G @ w + blocks.c0
     da, df = y[:nv], y[nv:]

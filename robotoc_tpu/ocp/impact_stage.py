@@ -42,10 +42,10 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     """Impact variant of a superstage. dv/lam live in the a/f storage.
     imp_mask: (nc,) contacts becoming active at this impact."""
     nv, nu_dim = model.nv, model.dimu
-    nf = 3 * contacts.n_contacts
+    nf = contacts.max_dimf
     dtype = q.dtype
-    rowmask = jnp.repeat(imp_mask, 3)
-    cone_mask = jnp.repeat(imp_mask, 5).astype(bool)
+    rowmask = contacts.force_mask(imp_mask)
+    cone_mask = contacts.cone_mask(imp_mask).astype(bool)
 
     # ---- impulse dynamics ---------------------------------------------
     lam_eff = lam * rowmask
@@ -168,8 +168,8 @@ def expand(model, contacts, barrier, blocks: StageBlocks,
            lam, beta, mu, s_cone, z_cone, imp_mask, fric, q):
     """Recover (ddv, dLambda, dbeta, dmu, cone slack/dual dirs)."""
     nv = model.nv
-    rowmask = jnp.repeat(imp_mask, 3)
-    cone_mask = jnp.repeat(imp_mask, 5).astype(bool)
+    rowmask = contacts.force_mask(imp_mask)
+    cone_mask = contacts.cone_mask(imp_mask).astype(bool)
     nu_dim = model.dimu
     w = jnp.concatenate([dq, dv_dir, jnp.zeros(nu_dim, dq.dtype)])
     y = blocks.G @ w + blocks.c0

@@ -29,6 +29,12 @@ class ContactPhase:
     placements: np.ndarray        # (nc, 3) world contact position refs
     friction: np.ndarray          # (nc,)
     start_time: float
+    rotations: Optional[np.ndarray] = None   # (nc, 3, 3) surface rotations
+
+    def __post_init__(self):
+        if self.rotations is None:
+            self.rotations = np.broadcast_to(
+                np.eye(3), (len(self.active), 3, 3)).copy()
 
 
 class ContactSchedule:
@@ -41,17 +47,19 @@ class ContactSchedule:
         self.event_is_impact: List[bool] = []   # between phase i and i+1
         self.event_sto: List[bool] = []         # optimize this event's time?
 
-    def init(self, active, placements, friction=None, t0: float = 0.0):
+    def init(self, active, placements, friction=None, t0: float = 0.0,
+             rotations=None):
         self.phases = [ContactPhase(
             np.asarray(active, bool), np.asarray(placements, float),
             np.full(self.nc, self.default_friction)
-            if friction is None else np.asarray(friction, float), t0)]
+            if friction is None else np.asarray(friction, float), t0,
+            rotations)]
         self.event_is_impact = []
         self.event_sto = []
         return self
 
     def push_back(self, active, placements, time: float, friction=None,
-                  sto: bool = False):
+                  sto: bool = False, rotations=None):
         """Append a phase; `sto` marks the transition time as a decision
         variable for switching-time optimization (reference
         contact_sequence.hpp:82-99 push_back(..., sto))."""
@@ -62,7 +70,8 @@ class ContactSchedule:
         self.phases.append(ContactPhase(
             active, np.asarray(placements, float),
             np.full(self.nc, self.default_friction)
-            if friction is None else np.asarray(friction, float), time))
+            if friction is None else np.asarray(friction, float), time,
+            rotations))
         self.event_is_impact.append(is_impact)
         self.event_sto.append(bool(sto))
 
@@ -99,6 +108,7 @@ class GridData:
     friction: jnp.ndarray      # (S, nc)
     is_impact: jnp.ndarray     # (S,) 1.0 on impact/pass-through slots
     imp_mask: jnp.ndarray      # (S, nc) newly-active contacts at the slot
+    R_ref: jnp.ndarray         # (S, nc, 3, 3) surface-contact rotation refs
 
     @property
     def n_slots(self):
@@ -134,29 +144,32 @@ def discretize(schedule: ContactSchedule, t0: float, T: float, N: int,
             f"{n_impacts} impact events in horizon but only "
             f"{n_reserved} reserved slots")
 
-    rows = []   # (t, dt, active, p_ref, fric, is_impact, imp_mask)
+    rows = []   # (t, dt, active, p_ref, fric, is_impact, imp_mask, R_ref)
 
     def status(t):
         ph = schedule.phase_at(t + 1e-9)
-        return ph.active.astype(float), ph.placements, ph.friction
+        return (ph.active.astype(float), ph.placements, ph.friction,
+                ph.rotations)
 
     for k in range(N):
         tk, tk1 = bounds[k], bounds[k + 1]
         if k in impacts:
-            a, p, f = status(tk)
-            rows.append((tk, 0.0, a, p, f, 1.0, impacts[k].astype(float)))
-        a, p, f = status(tk)
-        rows.append((tk, tk1 - tk, a, p, f, 0.0, np.zeros(nc)))
+            a, p, f, R = status(tk)
+            rows.append((tk, 0.0, a, p, f, 1.0, impacts[k].astype(float),
+                         R))
+        a, p, f, R = status(tk)
+        rows.append((tk, tk1 - tk, a, p, f, 0.0, np.zeros(nc), R))
     # unused reserved slots: identity pass-throughs before terminal
     t_end = bounds[N]
     for _ in range(n_reserved - n_impacts):
-        a, p, f = status(t_end)
-        rows.append((t_end, 0.0, a, p, f, 1.0, np.zeros(nc)))
+        a, p, f, R = status(t_end)
+        rows.append((t_end, 0.0, a, p, f, 1.0, np.zeros(nc), R))
     if N in impacts:
-        a, p, f = status(t_end)
-        rows.append((t_end, 0.0, a, p, f, 1.0, impacts[N].astype(float)))
-    a, p, f = status(t_end)
-    rows.append((t_end, 0.0, a, p, f, 0.0, np.zeros(nc)))  # terminal
+        a, p, f, R = status(t_end)
+        rows.append((t_end, 0.0, a, p, f, 1.0, impacts[N].astype(float),
+                     R))
+    a, p, f, R = status(t_end)
+    rows.append((t_end, 0.0, a, p, f, 0.0, np.zeros(nc), R))  # terminal
 
     arr = lambda x: jnp.asarray(np.asarray(x), dtype)
     return GridData(
@@ -166,4 +179,5 @@ def discretize(schedule: ContactSchedule, t0: float, T: float, N: int,
         p_ref=arr([r[3] for r in rows]),
         friction=arr([r[4] for r in rows]),
         is_impact=arr([r[5] for r in rows]),
-        imp_mask=arr([r[6] for r in rows]))
+        imp_mask=arr([r[6] for r in rows]),
+        R_ref=arr([r[7] for r in rows]))

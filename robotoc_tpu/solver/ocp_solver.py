@@ -142,7 +142,7 @@ def make_initial_solution(model, contacts, limits, barrier,
     (reference: initConstraints / mpc_* init pattern)."""
     m = model
     n1 = grid.n_slots
-    nf = 3 * contacts.n_contacts
+    nf = contacts.max_dimf
     dtype = m.dtype
     q = jnp.broadcast_to(jnp.asarray(q, dtype), (n1, m.nq))
     v = jnp.broadcast_to(jnp.asarray(v, dtype), (n1, m.nv))
@@ -152,8 +152,9 @@ def make_initial_solution(model, contacts, limits, barrier,
         n_active = jnp.maximum(jnp.sum(grid.contact_mask, axis=1), 1.0)
         fz = m.total_mass * 9.81 / n_active
         f_init = jnp.zeros((n1, nf), dtype)
+        offs = contacts.f_offsets
         for c in range(contacts.n_contacts):
-            f_init = f_init.at[:, 3 * c + 2].set(
+            f_init = f_init.at[:, offs[c] + 2].set(
                 fz * grid.contact_mask[:, c])
     sol = Solution(q=q, v=v, a=znv, u=jnp.zeros((n1, m.dimu), dtype),
                    f=f_init, lmd=znv, gmm=znv, beta=znv,
@@ -174,12 +175,12 @@ def reinit_constraints(model, contacts, limits, barrier, grid: GridData,
     e_lim = jl.constraint_values(m, limits, sol.q[:-1], sol.v[:-1],
                                  sol.u[:-1])
     s_lim, z_lim = pdipm.init_slack_dual(e_lim, barrier, limits.mask)
-    cone_mask = jnp.repeat(grid.contact_mask[:-1], 5, axis=1) > 0
+    cone_mask = jax.vmap(contacts.cone_mask)(grid.contact_mask[:-1]) > 0
+    f_mask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
     g_cone = jax.vmap(
         lambda qq, ff, fr: fc.residual_and_jac(
             m, contacts, qq, ff, fr)[0])(
-        sol.q[:-1], sol.f[:-1] * jnp.repeat(grid.contact_mask[:-1], 3,
-                                            axis=1),
+        sol.q[:-1], sol.f[:-1] * f_mask,
         grid.friction[:-1])
     s_cone, z_cone = pdipm.init_slack_dual(g_cone, barrier, cone_mask)
     return sol.replace(s_lim=s_lim, z_lim=z_lim, s_cone=s_cone,
@@ -196,7 +197,8 @@ def _build(model, contacts, limits, barrier, enable_impacts,
                 sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1], sol.gmm[:-1],
                 sol.lmd[1:], sol.gmm[1:], sol.q[1:], sol.v[1:],
                 sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
-                grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1])
+                grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1],
+                grid.R_ref[:-1])
     if enable_impacts:
         ifn = jax.vmap(functools.partial(
             istage.stage_eval, model, contacts, costs, limits))
@@ -287,8 +289,8 @@ def _expand_directions(model, contacts, limits, barrier, enable_impacts,
         du = sel(jnp.zeros_like(du), du)
         ds_lim = sel(jnp.zeros_like(ds_lim), ds_lim)
         dz_lim = sel(jnp.zeros_like(dz_lim), dz_lim)
-        cone_mask = cone_mask | (jnp.repeat(
-            grid.imp_mask[:-1], 5, axis=1) > 0)
+        cone_mask = cone_mask | (
+            jax.vmap(contacts.cone_mask)(grid.imp_mask[:-1]) > 0)
     dq_all = jnp.concatenate([dq, dqN[None]], axis=0)
     dv_all = jnp.concatenate([dv, dvN[None]], axis=0)
     return Directions(dq_all=dq_all, dv_all=dv_all, da=da, du=du, df=df,

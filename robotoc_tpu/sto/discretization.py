@@ -101,7 +101,7 @@ class PhaseDiscretization:
 
         # ---- build static slot arrays + Wt/Wd --------------------------
         rows_mask, rows_pref, rows_fric = [], [], []
-        rows_isimp, rows_impmask = [], []
+        rows_isimp, rows_impmask, rows_Rref = [], [], []
         Wt_rows, Wd_rows = [], []
         nb = self.P + 1
 
@@ -124,6 +124,7 @@ class PhaseDiscretization:
                 rows_fric.append(ph.friction)
                 rows_isimp.append(0.0)
                 rows_impmask.append(np.zeros(nc))
+                rows_Rref.append(ph.rotations)
             if j < self.P - 1:
                 nxt = schedule.phases[phases[j + 1]]
                 self._event_slot.append(len(Wt_rows))
@@ -136,6 +137,7 @@ class PhaseDiscretization:
                     rows_isimp.append(1.0)
                     rows_impmask.append(
                         (nxt.active & ~ph.active).astype(float))
+                    rows_Rref.append(nxt.rotations)
         # terminal slot
         last = schedule.phases[phases[-1]]
         Wt_rows.append(brow(self.P - 1, 0.0, 1.0))
@@ -144,6 +146,7 @@ class PhaseDiscretization:
         rows_fric.append(last.friction)
         rows_isimp.append(0.0)
         rows_impmask.append(np.zeros(nc))
+        rows_Rref.append(last.rotations)
 
         self.n_slots = len(Wt_rows)
         arr = lambda x: jnp.asarray(np.asarray(x), dtype)
@@ -154,6 +157,7 @@ class PhaseDiscretization:
         self._friction = arr(np.stack(rows_fric))
         self._is_impact = arr(rows_isimp)
         self._imp_mask = arr(np.stack(rows_impmask))
+        self._R_ref = arr(np.stack(rows_Rref))
         self.sto_mask = jnp.asarray(
             np.asarray(self.event_sto, float), dtype)
 
@@ -169,7 +173,8 @@ class PhaseDiscretization:
         return GridData(dt=self.Wd @ b, t=self.Wt @ b,
                         contact_mask=self._contact_mask,
                         p_ref=self._p_ref, friction=self._friction,
-                        is_impact=self._is_impact, imp_mask=self._imp_mask)
+                        is_impact=self._is_impact, imp_mask=self._imp_mask,
+                        R_ref=self._R_ref)
 
     # ---- host-side ------------------------------------------------------
     def dwell_times(self, ts) -> np.ndarray:

@@ -221,3 +221,71 @@ class LocalContactForceCost:
 
     def quadratize_impact(self, model, q, v, dv, t):
         return ImpactQuad.zeros(model.nv, model.dtype)
+
+
+@struct.dataclass
+class SE3Ref:
+    """Constant SE(3) reference placement."""
+    R: jnp.ndarray   # (3, 3)
+    p: jnp.ndarray   # (3,)
+
+    def __call__(self, t):
+        return (self.R, self.p), jnp.asarray(1.0, self.p.dtype)
+
+
+@struct.dataclass
+class TaskSpace6DCost:
+    """Frame SE(3) tracking via the log6 residual
+    (reference task_space_6d_cost.hpp: r = log6(M_ref^{-1} M(q)),
+    Gauss-Newton over the configuration tangent)."""
+    frame_id: int = struct.field(pytree_node=False)
+    weight: jnp.ndarray          # (6,) [linear, angular]
+    weight_terminal: jnp.ndarray
+    weight_impact: jnp.ndarray
+    ref: object                  # callable: t -> ((R_ref, p_ref), active)
+
+    def _residual(self, model, q, t):
+        from ..ops import lie
+        R_w, p_w = rm.forward_kinematics(model, q)
+        R, p = rm.frame_placement(model, self.frame_id, R_w, p_w)
+        (R_ref, p_ref), active = self.ref(t)
+        R_rel = jnp.swapaxes(R_ref, -1, -2) @ R
+        p_rel = (jnp.swapaxes(R_ref, -1, -2) @ (p - p_ref)[..., None])[..., 0]
+        return lie.se3_log(R_rel, p_rel), active
+
+    def _quad(self, model, q, t, w):
+        r, active = self._residual(model, q, t)
+        J = rm.tangent_jacobian(
+            model, q, lambda qq: self._residual(model, qq, t)[0])
+        wr = active * w * r
+        cost = 0.5 * active * jnp.sum(w * r * r)
+        lq = J.T @ wr
+        Qqq = J.T @ ((active * w)[:, None] * J)
+        return cost, lq, Qqq
+
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        r, active = self._residual(model, q, t)
+        return dt * 0.5 * active * jnp.sum(self.weight * r * r)
+
+    def eval_terminal(self, model, q, v, t):
+        r, active = self._residual(model, q, t)
+        return 0.5 * active * jnp.sum(self.weight_terminal * r * r)
+
+    def eval_impact(self, model, q, v, dv, t):
+        r, active = self._residual(model, q, t)
+        return 0.5 * active * jnp.sum(self.weight_impact * r * r)
+
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        c, lq, Qqq = self._quad(model, q, t, self.weight)
+        out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
+        return out._replace(cost=dt * c, lq=dt * lq, Qqq=dt * Qqq)
+
+    def quadratize_terminal(self, model, q, v, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_terminal)
+        out = TerminalQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_impact)
+        out = ImpactQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)

@@ -352,7 +352,7 @@ def _update(model, contacts, limits, barrier, ftb, enable_impacts,
     a_p, a_d = _step_sizes(limits, ftb, sol, d)
     dq_all, dv_all = d.dq_all, d.dv_all
     pad0_ls = _pad0
-    if enable_ls:
+    if enable_ls is True or enable_ls == "merit":
         from ..line_search import line_search as ls
 
         def trial(alpha):
@@ -374,6 +374,34 @@ def _update(model, contacts, limits, barrier, ftb, enable_impacts,
             return c + rho * v
 
         a_p = ls.search(trial, merit, a_p)
+    if enable_ls == "kkt":
+        # KKT-residual backtracking: accept the largest step that reduces
+        # the FULL nonlinear KKT norm. More expensive per trial (one stage
+        # re-evaluation) but globally monotone — needed on strongly
+        # nonlinear problems (jumps) where the Gauss-Newton model (same
+        # curvature drops as the reference) turns full steps into a limit
+        # cycle near the solution.
+        def kkt_at(ap, ad):
+            trial_sol = _integrate_solution(model, sol, d, ap, ad)
+            _, _, _, k_sq, _ = _build(model, contacts, limits, barrier,
+                                      enable_impacts, costs, trial_sol,
+                                      grid, q_init, v_init)
+            return k_sq
+
+        def cond(state):
+            scale, k_trial, it = state
+            return (k_trial >= kkt_sq) & (it < 8)
+
+        def body(state):
+            scale, _, it = state
+            scale = 0.5 * scale
+            return scale, kkt_at(scale * a_p, scale * a_d), it + 1
+
+        k_full = kkt_at(a_p, a_d)
+        scale, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.ones_like(a_p), k_full, jnp.asarray(0)))
+        a_p = scale * a_p
+        a_d = scale * a_d
     new = _integrate_solution(model, sol, d, a_p, a_d)
     return new, jnp.sqrt(kkt_sq), a_p, policy
 

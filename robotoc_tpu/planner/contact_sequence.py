@@ -116,12 +116,31 @@ class GridData:
 
 
 def discretize(schedule: ContactSchedule, t0: float, T: float, N: int,
-               n_reserved: int = 0, dtype=jnp.float64) -> GridData:
+               n_reserved: int = 0, dtype=jnp.float64,
+               use_native: bool = True) -> GridData:
     """Build the slot arrays with EXACT event alignment: the uniform grid
     boundary nearest each discrete event is snapped to the exact event time
     (non-uniform per-slot dt; values change, shapes never) — the static-shape
     analog of the reference's event-grid insertion
-    (time_discretization.cpp:43-90)."""
+    (time_discretization.cpp:43-90). At MPC control rate the baking runs in
+    native C++ (robotoc_tpu/native, the reference's TimeDiscretization
+    analog); the Python path below is the oracle and fallback."""
+    if use_native:
+        from .. import native as _native
+        out = None
+        try:
+            out = _native.bake_grid(schedule, t0, T, N, n_reserved)
+        except ValueError:
+            raise
+        except Exception:
+            out = None
+        if out is not None:
+            (t, dtv, cm, pr, fr, ii, im, Rr) = out
+            arr = lambda x: jnp.asarray(x, dtype)
+            return GridData(dt=arr(dtv[:N + n_reserved]), t=arr(t),
+                            contact_mask=arr(cm), p_ref=arr(pr),
+                            friction=arr(fr), is_impact=arr(ii),
+                            imp_mask=arr(im), R_ref=arr(Rr))
     dt = T / N
     nc = schedule.nc
     bounds = t0 + dt * np.arange(N + 1)

@@ -232,83 +232,40 @@ def _sto_update(model, contacts, limits, barrier, ftb,
     Qtt_red = Qtt + 0.5 * (Qcross + Qcross.T)
     mm = mask[:, None] * mask[None, :]
     Qtt_red = Qtt_red * mm + jnp.diag(1.0 - mask)
-    # positivity guard on the tiny reduced Hessian (the reference's `sgm`
-    # regularization, riccati_factorizer.cpp:159-162)
+    # Levenberg-style curvature guard per eigenmode — the reference's `sgm`
+    # regularization generalized to E switching times
+    # (riccati_factorizer.cpp:159-162): whenever the mode's Newton step
+    # would exceed max_dts or its curvature is non-positive, inflate the
+    # curvature to |sgm| + |g|/max_dts, bounding the step by max_dts while
+    # keeping a descent model.
     evals, evecs = jnp.linalg.eigh(Qtt_red)
-    evals = jnp.maximum(evals, 1e-6 * jnp.maximum(jnp.max(evals), 1.0))
-    Qtt_red = (evecs * evals) @ evecs.T
-    dts = -jnp.linalg.solve(Qtt_red, lt_red * mask) * mask
-    # trust-region clip (reference max_dts_riccati, riccati_factorizer.cpp)
-    scale = jnp.minimum(
-        1.0, max_dts / jnp.maximum(jnp.max(jnp.abs(dts)), 1e-12))
-    dts = dts * scale
+    g_modes = evecs.T @ (lt_red * mask)
+    eps_c = 1e-9
+    bad = (evals * max_dts < jnp.abs(g_modes)) | (evals < eps_c)
+    evals = jnp.where(bad, jnp.abs(evals) + jnp.abs(g_modes) / max_dts
+                      + eps_c, evals)
+    dts = -(evecs @ (g_modes / evals)) * mask
 
-    # ---- compose full direction and expand -------------------------------
-    dx_tot = dx + jnp.einsum("nek,e->nk", Zdx, dts)
-    du_tot = du + jnp.einsum("nek,e->nk", Zdu, dts)
-    dlmd_tot = dlmd_all + jnp.einsum("nek,e->nk", Zdlmd, dts)
-    grid = disc.grid(ts)
-    d = OS._expand_directions(model, contacts, limits, barrier, True,
-                              blocks, sol, grid, dx_tot, du_tot, dlmd_tot)
-    a_p, a_d = OS._step_sizes(limits, ftb, sol, d)
+    # ---- apply: move the switching times, then take the solution step at
+    # the MOVED grid. The dts direction anticipates the solution's response
+    # (exact Schur complement above); taking the solution step from a fresh
+    # linearization at ts_new exactly compensates the eliminated variables'
+    # (a, f, beta, mu) explicit dt-dependence — the role of the reference's
+    # STO-sensitivity condensing (contact_dynamics.cpp:156-163 haf rows).
     dslack, ddual = dwell.expand(dwell_con, st, dw, dts)
     ap_dw, ad_dw = dwell.step_sizes(dwell_con, st, dslack, ddual)
-    a_p = jnp.minimum(a_p, ap_dw)
-    a_d = jnp.minimum(a_d, ad_dw)
+    a_ts = ap_dw
+    ts_new = ts + a_ts * dts
+    st_new = dwell.DwellState(slack=st.slack + a_ts * dslack,
+                              dual=st.dual + jnp.minimum(a_ts, ad_dw)
+                              * ddual)
 
-    # Backtracking on the COUPLED KKT residual (OCP rows + switching-time
-    # stationarity + dwell PDIPM): the Gauss-Newton model (same curvature
-    # drops as the reference) needs damping on strongly nonlinear jump
-    # problems. Comparing only the OCP rows would always reject ts moves —
-    # the full coupled norm is the right merit.
-    lt_kkt0 = (lt_dyn + lt_sto + dwell_con.J.T @ st.dual) * mask
-    kkt_coupled0 = (kkt_sq + jnp.sum(lt_kkt0 ** 2) + jnp.sum(r_dw ** 2)
-                    + jnp.sum(cmpl_dw ** 2))
+    # solution Newton step at the moved grid, with the KKT-residual
+    # backtracking (globally monotone on the OCP rows at fixed ts_new)
+    new_sol, _, a_p, _ = OS._update(model, contacts, limits, barrier, ftb,
+                                    True, costs, sol, disc.grid(ts_new),
+                                    q_init, v_init, enable_ls="kkt")
 
-    def kkt_at(scale):
-        trial = OS._integrate_solution(model, sol, d, scale * a_p,
-                                       scale * a_d)
-        ts_t = ts + scale * a_p * dts
-        st_t = dwell.DwellState(slack=st.slack + scale * a_p * dslack,
-                                dual=st.dual + scale * a_d * ddual)
-
-        def scalar_fn(ts_):
-            grid_t = disc.grid(ts_)
-            data_t, _, _, k_sq, total_cost = OS._build(
-                model, contacts, limits, barrier, True, costs, trial,
-                grid_t, q_init, v_init)
-            lam = jnp.concatenate([trial.lmd[1:], trial.gmm[1:]], axis=1)
-            return total_cost + jnp.sum(lam * data_t.xres), k_sq
-
-        (_, k_sq), lt_dyn_t = jax.value_and_grad(
-            scalar_fn, has_aux=True)(ts_t)
-        _, lt_sto_t, _ = sto_cost_mod.quadratize(sto_costs, ts_t)
-        dw_t = dwell.dwell_times(ts_t, disc.t0, disc.T, dtype)
-        r_t = dwell_con.min_dwell - dw_t + st_t.slack
-        cmpl_t = st_t.slack * st_t.dual - dwell_con.barrier
-        lt_t = (lt_dyn_t + lt_sto_t + dwell_con.J.T @ st_t.dual) * mask
-        return (k_sq + jnp.sum(lt_t ** 2) + jnp.sum(r_t ** 2)
-                + jnp.sum(cmpl_t ** 2))
-
-    def cond(state):
-        scale, k_trial, it = state
-        return (k_trial >= kkt_coupled0) & (it < 8)
-
-    def body(state):
-        scale, _, it = state
-        scale = 0.5 * scale
-        return scale, kkt_at(scale), it + 1
-
-    s0 = jnp.ones((), dtype)
-    scale, _, _ = jax.lax.while_loop(cond, body,
-                                     (s0, kkt_at(s0), jnp.asarray(0)))
-    a_p = scale * a_p
-    a_d = scale * a_d
-
-    new_sol = OS._integrate_solution(model, sol, d, a_p, a_d)
-    ts_new = ts + a_p * dts
-    st_new = dwell.DwellState(slack=st.slack + a_p * dslack,
-                              dual=st.dual + a_d * ddual)
     lt_kkt = (lt_dyn + lt_sto + dwell_con.J.T @ st.dual) * mask
     kkt_total = (kkt_sq + jnp.sum(lt_kkt ** 2)
                  + jnp.sum(r_dw ** 2) + jnp.sum(cmpl_dw ** 2))

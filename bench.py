@@ -1,16 +1,19 @@
 """Benchmark entry point (driver-run, real TPU).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the FINAL
+line is the flagship number. A provisional line is printed as soon as the
+first timed repetition completes so a partially-run bench still parses
+(round-1 lesson: rc=124 with no output).
 
 Flagship metric (BASELINE.json north star): scenario-batched whole-body MPC
 updates/s on the ANYmal trot problem — contact dynamics + friction-cone
 PDIPM + impact slots, T=0.5, N=20, max_iter=2 Newton updates per MPC step,
-f32 — the reference's MPC cadence (examples/a1/mpc/trot.py: max_iter=2 at
-400 Hz => 2.5 ms/update budget per CPU). vs_baseline = aggregate batched
-updates/s / 400 (the single-core reference cadence).
+f32 — the reference's MPC cadence (reference examples/a1/mpc/trot.py:
+max_iter=2 at 400 Hz => 2.5 ms/update budget on a desktop CPU).
+vs_baseline = aggregate batched MPC updates/s / 400 (the single-core
+reference cadence).
 """
 import json
-import math
 import os
 import time
 
@@ -29,6 +32,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # passes lose too much precision for the ill-conditioned cost Hessians
 # (q_weight 2.5e5 vs a_weight 1e-6).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def emit(value_updates_per_s, note=""):
+    print(json.dumps({
+        "metric": "ANYmal trot whole-body MPC updates/s "
+                  "(N=20, B=128 scenarios, max_iter=2, f32, 1 chip)"
+                  + note,
+        "value": round(value_updates_per_s, 1),
+        "unit": "updates/s",
+        "vs_baseline": round(value_updates_per_s / 400.0, 2),
+    }), flush=True)
 
 
 def main():
@@ -65,34 +79,42 @@ def main():
     v0s = jnp.zeros((B, 18), dtype)
 
     def mpc_update(sol, q0, v0):
-        # max_iter=2 Newton updates (reference MPC cadence)
-        for _ in range(2):
-            sol, kkt, alpha, _ = OS._update(
-                m, mpc.contacts, mpc.limits, 1e-3, 0.995, True,
-                costs, sol, grid, q0, v0)
-        return sol, kkt
+        # max_iter=2 Newton updates (reference MPC cadence); scan over the
+        # iterations so the update body compiles ONCE (round-1 lesson: an
+        # unrolled pair doubled the traced graph and blew the compile
+        # budget on the driver's cold cache)
+        def it(s, _):
+            s, kkt, alpha, _ = OS._update(
+                m, mpc.contacts, mpc.limits, 1e-3, 0.995, mpc.n_reserved,
+                costs, s, grid, q0, v0)
+            return s, kkt
+
+        sol, kkts = jax.lax.scan(it, sol, None, length=2)
+        return sol, kkts[-1]
 
     step = jax.jit(jax.vmap(mpc_update))
+    t_c0 = time.perf_counter()
     sols_w, kkt = step(sols, q0s, v0s)
     jax.block_until_ready(kkt)
+    compile_s = time.perf_counter() - t_c0
+    print(f"# compile+first-run: {compile_s:.1f}s", flush=True)
     if not bool(jnp.all(jnp.isfinite(kkt))):
         raise RuntimeError("non-finite KKT in warmup")
 
-    n_rep = 10
+    # one timed rep -> provisional line ASAP
     t0 = time.perf_counter()
-    sols_t = sols
+    sols_t, kkt = step(sols_w, q0s, v0s)
+    jax.block_until_ready(kkt)
+    dt1 = time.perf_counter() - t0
+    emit(B / dt1, note=" [provisional, 1 rep]")
+
+    n_rep = 20
+    t0 = time.perf_counter()
     for _ in range(n_rep):
         sols_t, kkt = step(sols_t, q0s, v0s)
     jax.block_until_ready(kkt)
     dt_s = (time.perf_counter() - t0) / n_rep
-    updates_per_s = B / dt_s
-    print(json.dumps({
-        "metric": "ANYmal trot whole-body MPC updates/s "
-                  "(N=20, B=128 scenarios, max_iter=2, f32, 1 chip)",
-        "value": round(updates_per_s, 1),
-        "unit": "updates/s",
-        "vs_baseline": round(updates_per_s / 400.0, 2),
-    }))
+    emit(B / dt_s)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,14 @@ class LQRData:
     lu: jnp.ndarray      # (N, nu)
     Qxx_N: jnp.ndarray   # (nx, nx)
     lx_N: jnp.ndarray    # (nx,)
+    # Optional pure-state (switching) equality constraint rows
+    # Phix dx + Phiu du + Pc = 0, masked per row by sw (1 active / 0 off)
+    # (reference: switching-constraint Jacobians in split_kkt_matrix.hpp +
+    # the constrained Riccati branch, riccati_factorizer.cpp:58-89).
+    Phix: jnp.ndarray = None    # (N, nf, nx)
+    Phiu: jnp.ndarray = None    # (N, nf, nu)
+    Pc: jnp.ndarray = None      # (N, nf)
+    sw: jnp.ndarray = None      # (N, nf) row activity mask
 
 
 @struct.dataclass
@@ -62,3 +70,10 @@ class LQRPolicy:
     k: jnp.ndarray       # (N, nu)
     P: jnp.ndarray       # (N+1, nx, nx) value Hessians
     p: jnp.ndarray       # (N+1, nx) value gradients
+    # Constrained-stage multiplier factorization xi = Mx dx + mx
+    # (reference split_riccati_factorization.hpp M()/m()) + cached pieces
+    # for multi-RHS vector sweeps (GiPhiuT = Quu_bar^{-1} Phiu^T, S_chol).
+    Mx: jnp.ndarray = None       # (N, nf, nx)
+    mx: jnp.ndarray = None       # (N, nf)
+    GiPhiuT: jnp.ndarray = None  # (N, nu, nf)
+    S_chol: jnp.ndarray = None   # (N, nf, nf) Cholesky factor of S

@@ -82,6 +82,61 @@ class ImpactQuad(NamedTuple):
         return ImpactQuad(*(a + b for a, b in zip(self, o)))
 
 
+class DiscountedCost:
+    """Exponential time discount wrapper around any cost component
+    (reference cost_function.hpp:42,303-308: stage costs scaled by
+    gamma^((t - t0)/dt_d)). Wrapping at the component level keeps the
+    container a plain tuple; the scale is a traced function of the grid
+    time, so horizon shifts in MPC never recompile."""
+
+    def __init__(self, base, discount_factor: float,
+                 discount_time_step: float, t0: float = 0.0):
+        self.base = base
+        self.gamma = float(discount_factor)
+        self.dt_d = float(discount_time_step)
+        self.t0 = float(t0)
+
+    def _scale(self, t):
+        return self.gamma ** ((t - self.t0) / self.dt_d)
+
+    def replace(self, **kw):
+        return DiscountedCost(self.base.replace(**kw), self.gamma,
+                              self.dt_d, self.t0)
+
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        quad = self.base.quadratize_stage(model, nf, q, v, a, u, f, t, dt)
+        s = self._scale(t)
+        return type(quad)(*(s * x for x in quad))
+
+    def quadratize_terminal(self, model, q, v, t):
+        quad = self.base.quadratize_terminal(model, q, v, t)
+        s = self._scale(t)
+        return type(quad)(*(s * x for x in quad))
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        quad = self.base.quadratize_impact(model, q, v, dv, t)
+        s = self._scale(t)
+        return type(quad)(*(s * x for x in quad))
+
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        return self._scale(t) * self.base.eval_stage(model, q, v, a, u, f,
+                                                     t, dt)
+
+    def eval_terminal(self, model, q, v, t):
+        return self._scale(t) * self.base.eval_terminal(model, q, v, t)
+
+    def eval_impact(self, model, q, v, dv, t):
+        return self._scale(t) * self.base.eval_impact(model, q, v, dv, t)
+
+
+import jax
+
+jax.tree_util.register_pytree_node(
+    DiscountedCost,
+    lambda c: ((c.base,), (c.gamma, c.dt_d, c.t0)),
+    lambda aux, ch: DiscountedCost(ch[0], *aux))
+
+
 def quadratize_stage(components, model, nf, q, v, a, u, f, t, dt):
     out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
     for comp in components:

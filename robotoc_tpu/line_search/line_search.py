@@ -46,7 +46,7 @@ def eval_ocp(model, contacts, limits, barrier, costs, sol, grid,
         _, _, xres_q = se.linearize(model, q, v, dt, q_n)
         Fv = v + dt * a - v_n
         c = cost_base.eval_stage(costs, model, q, v, a, u, f, t, dt)
-        e_lim = jl.constraint_values(model, limits, q, v, u)
+        e_lim = jl.constraint_values(model, limits, q, v, u, a)
         g_cone, _, _ = fc.residual_and_jac(model, contacts, q, f_eff, fric)
         cone_mask = contacts.cone_mask(cmask).astype(bool)
         bar = (pdipm.log_barrier(s_lim, barrier, limits.mask)
@@ -71,6 +71,56 @@ def eval_ocp(model, contacts, limits, barrier, costs, sol, grid,
     dq0 = rm.difference(model, sol.q[0], q_init)
     viol0 = jnp.sum(jnp.abs(dq0)) + jnp.sum(jnp.abs(v_init - sol.v[0]))
     return jnp.sum(cs) + cN, jnp.sum(viols) + viol0
+
+
+MAX_FILTER = 32
+
+
+def empty_filter(dtype=jnp.float64):
+    """Fixed-size Fletcher-Leyffer filter; +inf rows are empty slots
+    (reference line_search_filter.hpp:14-81 — there a dynamic set; here a
+    static array carried through the jitted solve loop)."""
+    return jnp.full((MAX_FILTER, 2), jnp.inf, dtype=dtype)
+
+
+def filter_accepts(filt, cost, viol, cost_rate=0.005, viol_rate=0.005):
+    """(cost, viol) is acceptable if, against EVERY filter entry, it
+    improves the cost or the violation by the entry's margin
+    (reference line_search.cpp:58-84, filter rates 0.005)."""
+    ok = ((cost <= filt[:, 0] - cost_rate * filt[:, 1])
+          | (viol <= filt[:, 1] - viol_rate * filt[:, 1]))
+    return jnp.all(ok)
+
+
+def filter_augment(filt, it, cost, viol):
+    """Insert the accepted pair (round-robin over the static slots)."""
+    return filt.at[it % MAX_FILTER].set(
+        jnp.asarray([cost, viol], filt.dtype))
+
+
+def filter_search(trial_fn, eval_fn, alpha_max, filt,
+                  reduction=0.75, alpha_min=0.05):
+    """Backtrack to the largest step acceptable to the filter.
+    eval_fn(sol) -> (cost+barrier, l1 violation). Returns
+    (alpha, cost, viol) at the accepted trial."""
+
+    def measure(alpha):
+        c, v = eval_fn(trial_fn(alpha))
+        return c, v
+
+    c0, v0 = measure(alpha_max)
+
+    def cond(state):
+        alpha, c, v = state
+        return (~filter_accepts(filt, c, v)) & (alpha > alpha_min)
+
+    def body(state):
+        alpha, _, _ = state
+        new_alpha = alpha * reduction
+        c, v = measure(new_alpha)
+        return new_alpha, c, v
+
+    return jax.lax.while_loop(cond, body, (alpha_max, c0, v0))
 
 
 def search(trial_fn, merit_fn, alpha_max, reduction=0.75, alpha_min=0.05,

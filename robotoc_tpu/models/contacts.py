@@ -244,24 +244,30 @@ def contact_forces_to_joint(model: rm.RobotModel, contacts: ContactModel,
 # ---------------------------------------------------------------------------
 
 def baumgarte_derivatives(model, contacts, q, v, a, p_ref, R_ref=None):
-    """(dB/dq, dB/dv, dB/da), each (..., max_dimf, nv)."""
-    z = jnp.zeros(model.nv, dtype=model.dtype)
-    dq = jax.jacfwd(lambda e: baumgarte_residual(
-        model, contacts, rm.integrate(model, q, e), v, a, p_ref, R_ref))(z)
-    dv = jax.jacfwd(lambda e: baumgarte_residual(
-        model, contacts, q, v + e, a, p_ref, R_ref))(z)
-    da = jax.jacfwd(lambda e: baumgarte_residual(
-        model, contacts, q, v, a + e, p_ref, R_ref))(z)
-    return dq, dv, da
+    """(dB/dq, dB/dv, dB/da), each (..., max_dimf, nv). One fused tangent
+    space (3nv tangents, single traced chain)."""
+    nv = model.nv
+    z = jnp.zeros(3 * nv, dtype=model.dtype)
+
+    def f_all(e):
+        return baumgarte_residual(
+            model, contacts, rm.integrate(model, q, e[:nv]),
+            v + e[nv:2 * nv], a + e[2 * nv:], p_ref, R_ref)
+
+    J = jax.jacfwd(f_all)(z)
+    return J[..., :nv], J[..., nv:2 * nv], J[..., 2 * nv:]
 
 
 def impact_velocity_derivatives(model, contacts, q, v):
-    z = jnp.zeros(model.nv, dtype=model.dtype)
-    dq = jax.jacfwd(lambda e: impact_velocity_residual(
-        model, contacts, rm.integrate(model, q, e), v))(z)
-    dv = jax.jacfwd(lambda e: impact_velocity_residual(
-        model, contacts, q, v + e))(z)
-    return dq, dv
+    nv = model.nv
+    z = jnp.zeros(2 * nv, dtype=model.dtype)
+
+    def f_all(e):
+        return impact_velocity_residual(
+            model, contacts, rm.integrate(model, q, e[:nv]), v + e[nv:])
+
+    J = jax.jacfwd(f_all)(z)
+    return J[..., :nv], J[..., nv:]
 
 
 def contact_position_derivative(model, contacts, q, p_ref):

@@ -465,31 +465,34 @@ def rnea_derivatives(model: RobotModel, q, v, a, f_joint=None,
                      gravity_on: bool = True):
     """(dtau/dq (tangent), dtau/dv, dtau/da = M).
 
-    v1 strategy (SURVEY.md §7 step 1): forward-mode autodiff of the RNEA
-    chain — nv tangents batch onto the VPU/MXU as one kernel. External forces
-    are held constant in their local joint frames, matching Pinocchio's
+    Forward-mode autodiff of the RNEA chain with ONE fused tangent space
+    (3nv tangents of a single traced chain — one batched kernel on the
+    VPU/MXU instead of three, 3x smaller trace). External forces are held
+    constant in their local joint frames, matching Pinocchio's
     computeRNEADerivatives semantics used by the reference
     (reference robot.hpp:593).
     """
-    z = jnp.zeros(model.nv, dtype=model.dtype)
+    nv = model.nv
+    z = jnp.zeros(3 * nv, dtype=model.dtype)
 
-    def f_q(e):
-        return rnea(model, integrate(model, q, e), v, a, f_joint, gravity_on)
+    def f_all(e):
+        return rnea(model, integrate(model, q, e[:nv]), v + e[nv:2 * nv],
+                    a + e[2 * nv:], f_joint, gravity_on)
 
-    def f_v(e):
-        return rnea(model, q, v + e, a, f_joint, gravity_on)
-
-    def f_a(e):
-        return rnea(model, q, v, a + e, f_joint, gravity_on)
-
-    return jax.jacfwd(f_q)(z), jax.jacfwd(f_v)(z), jax.jacfwd(f_a)(z)
+    J = jax.jacfwd(f_all)(z)                       # (nv, 3nv)
+    return J[:, :nv], J[:, nv:2 * nv], J[:, 2 * nv:]
 
 
 def rnea_impact_derivatives(model: RobotModel, q, dv, f_joint=None):
     """(dres/dq, dres/ddv) of the impulse dynamics residual
-    (reference robot.hpp:630)."""
-    z = jnp.zeros(model.nv, dtype=model.dtype)
-    dq = jax.jacfwd(
-        lambda e: rnea_impact(model, integrate(model, q, e), dv, f_joint))(z)
-    ddv = jax.jacfwd(lambda e: rnea_impact(model, q, dv + e, f_joint))(z)
-    return dq, ddv
+    (reference robot.hpp:630). One fused tangent space, as in
+    rnea_derivatives."""
+    nv = model.nv
+    z = jnp.zeros(2 * nv, dtype=model.dtype)
+
+    def f_all(e):
+        return rnea_impact(model, integrate(model, q, e[:nv]),
+                           dv + e[nv:], f_joint)
+
+    J = jax.jacfwd(f_all)(z)
+    return J[:, :nv], J[:, nv:]

@@ -286,7 +286,8 @@ class PeriodicGaitMPC:
         q = jnp.asarray(q, self.model.dtype)
         v = jnp.asarray(v, self.model.dtype)
         grid, costs = self._build_schedule_and_costs(float(t), q, v)
-        sol = align_solution(self.sol, self.grid, grid)
+        sol = align_solution(self.sol, self.grid, grid,
+                             model=self.model)
         kkt = None
         for _ in range(max_iter):
             sol, kkt, _, policy = self._solver.update(grid, q, v, sol,

@@ -1,0 +1,211 @@
+"""MPCJump: whole-body jump MPC (quadruped or humanoid).
+
+TPU-native counterpart of the reference's MPCJump + JumpFootStepPlanner
+(reference: src/mpc/mpc_jump.cpp:13-318, src/mpc/jump_foot_step_planner.cpp,
+include/robotoc/mpc/mpc_jump.hpp). A jump is a single stance -> flight ->
+landing-impact sequence; the controller holds the lift-off / touchdown times
+fixed after `init` (optionally refined there by switching-time optimization,
+reference mpc_jump.cpp init(..., sto=true)) and slides the horizon over them
+at MPC rate. Landing placements are the planner's jump targets; with
+`switching_constraints=True` (default) the landing is CONSTRAINED via the
+pure-state switching constraint rather than only penalized
+(dynamics/switching_constraint.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..constraints.joint_limits import make_joint_limits
+from ..costs.config_cost import make_config_cost
+from ..models import forward_kinematics, frame_placement
+from ..models import robot as rm
+from ..models import contacts as ct
+from ..planner.contact_sequence import ContactSchedule, discretize
+from ..solver.ocp_solver import OCPSolver, SolverOptions, align_solution
+
+FEET_DEFAULT = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
+
+
+class JumpFootStepPlanner:
+    """Jump landing-placement planner
+    (reference src/mpc/jump_foot_step_planner.cpp): targets = current foot
+    positions displaced by the commanded jump length and rotated by the
+    commanded yaw about the current CoM."""
+
+    def __init__(self, model, feet):
+        self.model = model
+        self.feet = feet
+        self.jump_length = np.zeros(3)
+        self.jump_yaw = 0.0
+
+    def set_jump_pattern(self, jump_length, jump_yaw: float):
+        self.jump_length = np.asarray(jump_length, float)
+        self.jump_yaw = float(jump_yaw)
+
+    def plan(self, q):
+        m = self.model
+        Rw, pw = forward_kinematics(m, q)
+        p0 = np.stack([
+            np.asarray(frame_placement(m, m.frame_id(f), Rw, pw)[1])
+            for f in self.feet])
+        c = p0.mean(axis=0)
+        cy, sy = math.cos(self.jump_yaw), math.sin(self.jump_yaw)
+        Ry = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+        p1 = (p0 - c) @ Ry.T + c + self.jump_length
+        return p0, p1
+
+
+class MPCJump:
+    """Packaged jump MPC (reference mpc/mpc_jump.hpp)."""
+
+    def __init__(self, model: rm.RobotModel, T: float, N: int,
+                 feet=None, friction_coefficient: float = 0.5,
+                 options: Optional[SolverOptions] = None,
+                 baumgarte_time_step: float = 0.05,
+                 contact_types=None):
+        self.model = model
+        feet = feet or FEET_DEFAULT
+        self.feet = feet
+        self.nc = len(feet)
+        self.contacts = ct.make_contacts(
+            model, feet, types=contact_types,
+            baumgarte_time_step=baumgarte_time_step)
+        self.T, self.N = float(T), int(N)
+        self.friction = friction_coefficient
+        nv, dimu = model.nv, model.dimu
+        dt = model.dtype
+        # jump cost weights (reference src/mpc/mpc_jump.cpp:42-60)
+        self.config_cost = make_config_cost(
+            model,
+            q_weight=jnp.asarray([1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+                                 + [0.01] * (nv - 6), dt),
+            v_weight=jnp.asarray([1.0] * 6 + [1.0] * (nv - 6), dt),
+            a_weight=jnp.full(nv, 1e-6, dt),
+            u_weight=jnp.full(dimu, 1e-3, dt),
+            q_weight_terminal=jnp.asarray(
+                [1.0, 1.0, 1.0, 1.0, 1.0, 1.0] + [0.01] * (nv - 6), dt),
+            v_weight_terminal=jnp.full(nv, 1.0, dt),
+            q_weight_impact=jnp.asarray(
+                [0, 0, 0, 100, 100, 100] + [0.1] * (nv - 6), dt),
+            v_weight_impact=jnp.full(nv, 1.0, dt),
+            dv_weight_impact=jnp.full(nv, 1e-6, dt),
+        )
+        self.limits = make_joint_limits(model)
+        self.n_reserved = 1
+        self._options = options or SolverOptions(
+            max_iter=2, switching_constraints=True,
+            enable_line_search="kkt")
+        self.planner = JumpFootStepPlanner(model, feet)
+        self.flying_time = 0.3
+        self.ground_time = 0.3
+        self._solver: Optional[OCPSolver] = None
+        self.sol = None
+        self.grid = None
+        self.lqr_policy = None
+        self.t_lift = None
+        self.t_land = None
+        self._p_stance = None
+        self._p_land = None
+
+    def set_jump_pattern(self, jump_length, jump_yaw: float,
+                         flying_time: float, ground_time: float):
+        """(reference MPCJump::setJumpPattern: planner, flying_time,
+        min_flying_time, ground_time, min_ground_time — the min_* bounds
+        become STO dwell limits when init(sto=True))."""
+        self.planner.set_jump_pattern(jump_length, jump_yaw)
+        self.flying_time = float(flying_time)
+        self.ground_time = float(ground_time)
+
+    # ------------------------------------------------------------------
+    def _schedule(self, t: float):
+        """3-phase schedule around the fixed (t_lift, t_land)."""
+        sched = ContactSchedule(nc=self.nc,
+                                default_friction=self.friction)
+        if t < self.t_lift:
+            sched.init([True] * self.nc, self._p_stance)
+            if self.t_lift <= t + self.T + 1e-9:
+                sched.push_back([False] * self.nc, self._p_stance,
+                                self.t_lift)
+                if self.t_land <= t + self.T + 1e-9:
+                    sched.push_back([True] * self.nc, self._p_land,
+                                    self.t_land)
+        elif t < self.t_land:
+            sched.init([False] * self.nc, self._p_stance)
+            if self.t_land <= t + self.T + 1e-9:
+                sched.push_back([True] * self.nc, self._p_land,
+                                self.t_land)
+        else:
+            sched.init([True] * self.nc, self._p_land)
+        return sched
+
+    def init(self, t, q, v, num_iters: int = 30, sto: bool = False,
+             min_flying_time: float = 0.1, min_ground_time: float = 0.1):
+        """Build the jump plan and solve the initial OCP; with sto=True the
+        lift-off / touchdown times are optimized first (reference
+        MPCJump::init with STO) and then held fixed at MPC rate."""
+        m = self.model
+        q = jnp.asarray(q, m.dtype)
+        v = jnp.asarray(v, m.dtype)
+        self.config_cost = self.config_cost.replace(q_ref=q)
+        p0, p1 = self.planner.plan(q)
+        self._p_stance, self._p_land = p0, p1
+        self.t_lift = float(t) + self.ground_time
+        self.t_land = self.t_lift + self.flying_time
+        if sto:
+            from ..solver.sto_solver import OCPSolverSTO, STOSolverOptions
+            sched = self._schedule(float(t))
+            sto_solver = OCPSolverSTO(
+                m, self.contacts, (self.config_cost,), self.limits,
+                sched, float(t), self.T, self.N,
+                min_dwell_times=[min_ground_time, min_flying_time, 0.05],
+                options=STOSolverOptions(max_iter=num_iters,
+                                         kkt_tol=1e-6))
+            _, ts, _ = sto_solver.solve(q, v)
+            ts = np.asarray(ts)
+            self.t_lift, self.t_land = float(ts[0]), float(ts[1])
+        grid = self._grid(float(t))
+        if self._solver is None:
+            self._solver = OCPSolver(
+                m, self.contacts, (self.config_cost,), self.limits,
+                self.T, self.N, options=self._options,
+                n_reserved_events=self.n_reserved)
+        sol = self._solver.init_solution(grid, q, v)
+        kkt = np.inf
+        for _ in range(num_iters):
+            sol, kkt, _, policy = self._solver.update(
+                grid, q, v, sol, costs=(self.config_cost,))
+            self.lqr_policy = policy
+        self.sol, self.grid = sol, grid
+        return float(kkt)
+
+    def _grid(self, t: float):
+        return discretize(self._schedule(t), t, self.T, self.N,
+                          n_reserved=self.n_reserved, dtype=self.model.dtype)
+
+    def update_solution(self, t, dt, q, v, max_iter: int = 2):
+        """One MPC update (reference MPCJump::updateSolution)."""
+        q = jnp.asarray(q, self.model.dtype)
+        v = jnp.asarray(v, self.model.dtype)
+        grid = self._grid(float(t))
+        sol = align_solution(self.sol, self.grid, grid, model=self.model)
+        kkt = None
+        for _ in range(max_iter):
+            sol, kkt, _, policy = self._solver.update(
+                grid, q, v, sol, costs=(self.config_cost,))
+            self.lqr_policy = policy
+        self.sol, self.grid = sol, grid
+        return float(kkt)
+
+    # ------------------------------------------------------------------
+    def get_initial_control_input(self):
+        return self.sol.u[0]
+
+    def get_control_policy(self, t: float):
+        from .control_policy import ControlPolicy
+        return ControlPolicy.from_solution(self.model, self.grid, self.sol,
+                                           self.lqr_policy, t)

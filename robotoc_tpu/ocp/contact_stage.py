@@ -58,6 +58,11 @@ class StageBlocks(NamedTuple):
     gy: jnp.ndarray       # (nv+nf,)
     e_lim: jnp.ndarray
     e_cone: jnp.ndarray
+    # full-space stationarity rows (switching-constraint xi corrections
+    # are applied on top of these at the _build level)
+    lq_full: jnp.ndarray
+    lv_full: jnp.ndarray
+    la_full: jnp.ndarray
     # diagnostics
     kkt_sq: jnp.ndarray
     cost: jnp.ndarray
@@ -104,10 +109,10 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     Wq, Wv, Wa, Wu, Wf = quad.Qqq, quad.Qvv, quad.Qaa, quad.Quu, quad.Qff
 
     # ---- inequality constraints (PDIPM) --------------------------------
-    e_lim = jl.constraint_values(model, limits, q, v, u)
-    Hq_d, Hv_d, Hu_d, gq_cd, gv_cd, gu_cd = jl.condense(
+    e_lim = jl.constraint_values(model, limits, q, v, u, a)
+    Hq_d, Hv_d, Hu_d, Ha_d, gq_cd, gv_cd, gu_cd, ga_cd = jl.condense(
         model, limits, e_lim, s_lim, z_lim, barrier)
-    zq, zv, zu = jl.dual_residual(model, limits, z_lim)
+    zq, zv, zu, za = jl.dual_residual(model, limits, z_lim)
 
     g_cone, dgdf, dgdq = fc.residual_and_jac(model, contacts, q, f_eff,
                                              fric)
@@ -149,9 +154,9 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
                           lv_c + zv + gv_cd,
                           lu_c + zu + gu_cd])
     Hy = jnp.zeros((nv + nf, nv + nf), dtype)
-    Hy = Hy.at[:nv, :nv].set(Wa)
+    Hy = Hy.at[:nv, :nv].set(Wa + jnp.diag(Ha_d))
     Hy = Hy.at[nv:, nv:].set(Wf + cone_Hff)
-    gy = jnp.concatenate([la_c, lf_c + cone_gf])
+    gy = jnp.concatenate([la_c + za + ga_cd, lf_c + cone_gf])
     Cwy = jnp.zeros((w_dim, nv + nf), dtype)
     Cwy = Cwy.at[:nv, nv:].set(cone_Hqf)
 
@@ -182,7 +187,7 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
                + Aqq.T @ lmd_n - lmd)
     lv_full = (lv_c + zv + dIDdv.T @ beta + dCdv.T @ mu
                + Aqv.T @ lmd_n + gmm_n - gmm)
-    la_full = la_c + M.T @ beta + J.T @ mu + dt * gmm_n
+    la_full = la_c + za + M.T @ beta + J.T @ mu + dt * gmm_n
     lf_full = (lf_c + dgdf.T @ jnp.where(cone_mask, z_cone, 0.0)
                - J @ beta) * rowmask
     lu_full = lu_c + zu - Sact @ beta
@@ -208,6 +213,7 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
                        lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
                        Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
                        e_lim=e_lim, e_cone=g_cone,
+                       lq_full=lq_full, lv_full=lv_full, la_full=la_full,
                        kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
                        prim_feas=prim, dual_feas=dual)
 
@@ -237,7 +243,7 @@ def expand(model, contacts, limits, barrier, blocks: StageBlocks,
     dbeta = beta_new - beta
     dmu = mu_new - mu
     # slack/dual directions
-    de_lim = jl.constraint_direction(model, limits, dq, dv, du)
+    de_lim = jl.constraint_direction(model, limits, dq, dv, du, da)
     ds_lim, dz_lim = pdipm.expand_slack_dual(
         blocks.e_lim, s_lim, z_lim, barrier, de_lim, limits.mask)
     _, dgdf, dgdq = fc.residual_and_jac(model, contacts, q,

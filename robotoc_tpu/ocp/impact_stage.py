@@ -159,6 +159,7 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
                        lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
                        Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
                        e_lim=e_lim_dummy, e_cone=g_cone,
+                       lq_full=lq_full, lv_full=lv_full, la_full=ldv_full,
                        kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
                        prim_feas=prim, dual_feas=dual)
 

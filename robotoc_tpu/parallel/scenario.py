@@ -57,17 +57,18 @@ def broadcast_solution(sol, batch: int):
 
 def make_batched_update(model, contacts, limits, costs, grid,
                         barrier: float = 1e-3, ftb: float = 0.995,
-                        enable_impacts: bool = True, max_iter: int = 2,
+                        n_imp: int = 0, max_iter: int = 2,
                         mesh: Optional[Mesh] = None, axis_name: str = "dp"):
     """Jitted scenario-batched MPC update: (sols, q0s, v0s) ->
-    (sols', kkts). With a mesh, inputs/outputs are sharded over the
-    scenario axis; costs/grid are replicated (closed over)."""
+    (sols', kkts). n_imp: number of impact slots in the grid (static).
+    With a mesh, inputs/outputs are sharded over the scenario axis;
+    costs/grid are replicated (closed over)."""
 
     def one(sol, q0, v0):
         kkt = jnp.zeros((), sol.q.dtype)
         for _ in range(max_iter):
             sol, kkt, _, _ = OS._update(
-                model, contacts, limits, barrier, ftb, enable_impacts,
+                model, contacts, limits, barrier, ftb, n_imp,
                 costs, sol, grid, q0, v0)
         return sol, kkt
 

@@ -27,8 +27,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from jax.scipy.linalg import cho_factor, cho_solve
+
 from ..constraints import joint_limits as jl
 from ..constraints import pdipm
+from ..costs import base as cost_base
 from ..costs import config_cost as cc
 from ..models import robot as rm
 
@@ -58,20 +61,24 @@ class SolverOptions:
 
 class UnconstrParNMPCSolver:
     def __init__(self, model: rm.RobotModel, cost, limits, T: float, N: int,
-                 options: SolverOptions = SolverOptions()):
+                 options: SolverOptions = SolverOptions(), t0: float = 0.0):
         assert not model.floating_base
         self.model = model
-        self.cost = cost
+        # generic cost container (tuple of components, costs/base.py)
+        self.cost = tuple(cost) if isinstance(cost, (tuple, list)) \
+            else (cost,)
+        self.t0 = float(t0)
         self.limits = limits if limits is not None else \
             jl.make_joint_limits(model)
         self.T, self.N = float(T), int(N)
         self.dt = self.T / self.N
         self.options = options
         self._update = jax.jit(functools.partial(
-            _update, model, cost, self.limits, self.dt,
-            options.barrier, options.fraction_to_boundary_rule))
+            _update, model, self.cost, self.limits, self.dt,
+            options.barrier, options.fraction_to_boundary_rule, self.t0))
         self._kkt_error = jax.jit(functools.partial(
-            _kkt_error, model, cost, self.limits, self.dt, options.barrier))
+            _kkt_error, model, self.cost, self.limits, self.dt,
+            options.barrier, self.t0))
 
     def init_solution(self, q, v) -> ParNMPCSolution:
         m = self.model
@@ -80,11 +87,14 @@ class UnconstrParNMPCSolver:
         q = jnp.broadcast_to(jnp.asarray(q, dtype), (N, m.nq))
         v = jnp.broadcast_to(jnp.asarray(v, dtype), (N, m.nv))
         z = jnp.zeros((N, m.nv), dtype)
-        e = jl.constraint_values(m, self.limits, q, v, z)
+        e = jl.constraint_values(m, self.limits, q, v, z, z)
         s0, z0 = pdipm.init_slack_dual(e, self.options.barrier,
                                        self.limits.mask)
         # terminal cost Hessian as initial aux matrices (reference :57-71)
-        _, _, _, Wq, Wv = cc.quadratize_terminal(m, self.cost, q[-1], v[-1])
+        tq = cost_base.quadratize_terminal(self.cost, m, q[-1], v[-1],
+                                           jnp.asarray(self.t0 + self.T,
+                                                       dtype))
+        Wq, Wv = tq.Qqq, tq.Qvv
         zb = jnp.zeros_like(Wq)
         aux0 = jnp.block([[Wq, zb], [zb, Wv]])
         aux = jnp.broadcast_to(aux0, (N, 2 * m.nv, 2 * m.nv))
@@ -109,8 +119,9 @@ class UnconstrParNMPCSolver:
 
 # ---------------------------------------------------------------------------
 
-def _stage_terms(model, cost, limits, dt, barrier, sol, q_init, v_init):
-    """Batched per-stage KKT pieces (reference ParNMPC stage evalKKT)."""
+def _stage_terms(model, cost, limits, dt, barrier, t0, sol, q_init, v_init):
+    """Batched per-stage KKT pieces (reference ParNMPC stage evalKKT).
+    `cost` is the generic component container (costs/base.py)."""
     N = sol.q.shape[0]
     nv = model.nv
     q_prev = jnp.concatenate([q_init[None], sol.q[:-1]], axis=0)
@@ -120,35 +131,40 @@ def _stage_terms(model, cost, limits, dt, barrier, sol, q_init, v_init):
     gmm_next = jnp.concatenate([sol.gmm[1:], jnp.zeros((1, nv),
                                                        sol.q.dtype)], axis=0)
     is_term = jnp.zeros(N, sol.q.dtype).at[-1].set(1.0)
+    ts = t0 + dt * jnp.arange(1, N + 1, dtype=sol.q.dtype)
 
-    def one(qp, vp, q, v, a, u, beta, lmd, gmm, lmd_n, gmm_n, s, z, term):
+    def one(t, qp, vp, q, v, a, u, beta, lmd, gmm, lmd_n, gmm_n, s, z,
+            term):
         ID = rm.rnea(model, q, v, a)
         e_id = ID - u
         dIDdq, dIDdv, M = rm.rnea_derivatives(model, q, v, a)
-        c, lq_c, lv_c, la_c, lu_c, Wq, Wv, Wa, Wu = cc.quadratize_stage(
-            model, cost, q, v, a, u, dt)
-        cT, lqT, lvT, WqT, WvT = cc.quadratize_terminal(model, cost, q, v)
-        lq_c = lq_c + term * lqT
-        lv_c = lv_c + term * lvT
-        Wq = Wq + term * WqT
-        Wv = Wv + term * WvT
-        c = c + term * cT
-        e = jl.constraint_values(model, limits, q, v, u)
-        Hq_d, Hv_d, Hu_d, gq_cd, gv_cd, gu_cd = jl.condense(
+        quad = cost_base.quadratize_stage(cost, model, 0, q, v, a, u,
+                                          jnp.zeros((0,), q.dtype), t, dt)
+        c, lq_c, lv_c, la_c, lu_c = (quad.cost, quad.lq, quad.lv, quad.la,
+                                     quad.lu)
+        Wq, Wv, Wa, Wu = quad.Qqq, quad.Qvv, quad.Qaa, quad.Quu
+        tq = cost_base.quadratize_terminal(cost, model, q, v, t)
+        lq_c = lq_c + term * tq.lq
+        lv_c = lv_c + term * tq.lv
+        Wq = Wq + term * tq.Qqq
+        Wv = Wv + term * tq.Qvv
+        c = c + term * tq.cost
+        e = jl.constraint_values(model, limits, q, v, u, a)
+        Hq_d, Hv_d, Hu_d, Ha_d, gq_cd, gv_cd, gu_cd, ga_cd = jl.condense(
             model, limits, e, s, z, barrier)
-        zq, zv, zu = jl.dual_residual(model, limits, z)
+        zq, zv, zu, za = jl.dual_residual(model, limits, z)
         Huu = jnp.diag(Wu) + Hu_d
         gu0 = lu_c + zu + gu_cd
         gID = gu0 + Huu * e_id
         # condensed gradients (ParNMPC coupling: backward Euler)
-        la = la_c + M.T @ gID + dt * gmm
+        la = la_c + za + ga_cd + M.T @ gID + dt * gmm
         lq = lq_c + zq + gq_cd + dIDdq.T @ gID - lmd + lmd_n
         lv = lv_c + zv + gv_cd + dIDdv.T @ gID + dt * lmd - gmm + gmm_n
         Fq = qp + dt * v - q
         Fv = vp + dt * a - v
         # condensed Hessian blocks
         HJ = Huu[:, None]
-        Qaa = Wa + M.T @ (HJ * M)
+        Qaa = Wa + jnp.diag(Ha_d) + M.T @ (HJ * M)
         Qaq = M.T @ (HJ * dIDdq)
         Qav = M.T @ (HJ * dIDdv)
         Qqq = Wq + jnp.diag(Hq_d) + dIDdq.T @ (HJ * dIDdq)
@@ -156,7 +172,7 @@ def _stage_terms(model, cost, limits, dt, barrier, sol, q_init, v_init):
         Qvv = Wv + jnp.diag(Hv_d) + dIDdv.T @ (HJ * dIDdv)
         # full KKT residual pieces (for the error norm)
         lu_full = lu_c + zu - beta
-        la_full = la_c + M.T @ beta + dt * gmm
+        la_full = la_c + za + M.T @ beta + dt * gmm
         lq_full = lq_c + zq + dIDdq.T @ beta - lmd + lmd_n
         lv_full = lv_c + zv + dIDdv.T @ beta + dt * lmd - gmm + gmm_n
         r_lim = pdipm.residual(e, s, limits.mask)
@@ -170,24 +186,24 @@ def _stage_terms(model, cost, limits, dt, barrier, sol, q_init, v_init):
         return (Fq, Fv, la, lq, lv, Qaa, Qaq, Qav, Qqq, Qqv, Qvv,
                 kkt_sq, aux_pieces)
 
-    return jax.vmap(one)(q_prev, v_prev, sol.q, sol.v, sol.a, sol.u,
+    return jax.vmap(one)(ts, q_prev, v_prev, sol.q, sol.v, sol.a, sol.u,
                          sol.beta, sol.lmd, sol.gmm, lmd_next, gmm_next,
                          sol.slack, sol.dual, is_term)
 
 
-def _kkt_error(model, cost, limits, dt, barrier, sol, q_init, v_init):
-    out = _stage_terms(model, cost, limits, dt, barrier, sol, q_init,
+def _kkt_error(model, cost, limits, dt, barrier, t0, sol, q_init, v_init):
+    out = _stage_terms(model, cost, limits, dt, barrier, t0, sol, q_init,
                        v_init)
     return jnp.sqrt(jnp.sum(out[11]))
 
 
-def _update(model, cost, limits, dt, barrier, ftb, sol: ParNMPCSolution,
-            q_init, v_init):
+def _update(model, cost, limits, dt, barrier, ftb, t0,
+            sol: ParNMPCSolution, q_init, v_init):
     N = sol.q.shape[0]
     nv = model.nv
     dtype = sol.q.dtype
     (Fq, Fv, la, lq, lv, Qaa, Qaq, Qav, Qqq, Qqv, Qvv, kkt_sq,
-     aux_p) = _stage_terms(model, cost, limits, dt, barrier, sol,
+     aux_p) = _stage_terms(model, cost, limits, dt, barrier, t0, sol,
                            q_init, v_init)
 
     # aux of the NEXT stage added to Qxx (terminal stage: none)
@@ -197,8 +213,14 @@ def _update(model, cost, limits, dt, barrier, ftb, sol: ParNMPCSolution,
     Qqv = Qqv + aux_next[:, :nv, nv:]
     Qvv = Qvv + aux_next[:, nv:, nv:]
 
-    # assemble per-stage KKT matrices (5nv x 5nv), batched inverse
-    def assemble(Qaa, Qaq, Qav, Qqq, Qqv, Qvv):
+    # per-stage KKT inverse via the Schur complement on the PD Hessian
+    # block (reference parnmpc/unconstr_kkt_matrix_inverter.hxx — two
+    # Cholesky factorizations of sizes 3nv and 2nv instead of one dense
+    # 5nv LU): for KKT = [[0, F], [F^T, H]],
+    #   S = F H^{-1} F^T,
+    #   inv = [[-S^{-1}, S^{-1} F H^{-1}],
+    #          [(S^{-1} F H^{-1})^T, H^{-1} - H^{-1}F^T S^{-1} F H^{-1}]].
+    def kkt_inverse(Qaa, Qaq, Qav, Qqq, Qqv, Qvv):
         eye = jnp.eye(nv, dtype=dtype)
         Z = jnp.zeros((nv, nv), dtype)
         F = jnp.block([[Z, -eye, dt * eye],
@@ -206,13 +228,19 @@ def _update(model, cost, limits, dt, barrier, ftb, sol: ParNMPCSolution,
         H = jnp.block([[Qaa, Qaq, Qav],
                        [Qaq.T, Qqq, Qqv],
                        [Qav.T, Qqv.T, Qvv]])
-        top = jnp.concatenate([jnp.zeros((2 * nv, 2 * nv), dtype), F],
-                              axis=1)
-        bot = jnp.concatenate([F.T, H], axis=1)
+        cH = cho_factor(H)
+        Hi = cho_solve(cH, jnp.eye(3 * nv, dtype=dtype))
+        FHi = F @ Hi                                   # (2nv, 3nv)
+        S = FHi @ F.T
+        cS = cho_factor(S)
+        Si = cho_solve(cS, jnp.eye(2 * nv, dtype=dtype))
+        TR = Si @ FHi                                  # (2nv, 3nv)
+        BR = Hi - FHi.T @ TR
+        top = jnp.concatenate([-Si, TR], axis=1)
+        bot = jnp.concatenate([TR.T, BR], axis=1)
         return jnp.concatenate([top, bot], axis=0)
 
-    KKT = jax.vmap(assemble)(Qaa, Qaq, Qav, Qqq, Qqv, Qvv)
-    KKT_inv = jnp.linalg.inv(KKT)
+    KKT_inv = jax.vmap(kkt_inverse)(Qaa, Qaq, Qav, Qqq, Qqv, Qvv)
     res = jnp.concatenate([Fq, Fv, la, lq, lv], axis=1)    # (N, 5nv)
     dz = jnp.einsum("nij,nj->ni", KKT_inv, res)
     # coarse new iterate z_new = z - dz, z = (lmd, gmm, a, q, v)
@@ -290,7 +318,7 @@ def _update(model, cost, limits, dt, barrier, ftb, sol: ParNMPCSolution,
           + jnp.einsum("nij,nj->ni", aux_p["dIDdv"], dv)
           + jnp.einsum("nij,nj->ni", aux_p["M"], da) + aux_p["e_id"])
     dbeta = aux_p["gu0"] + aux_p["Huu"] * du - sol.beta
-    de = jl.constraint_direction(model, limits, dq, dv, du)
+    de = jl.constraint_direction(model, limits, dq, dv, du, da)
     ds, dz_ = pdipm.expand_slack_dual(aux_p["e"], sol.slack, sol.dual,
                                       barrier, de, limits.mask)
     a_p = pdipm.fraction_to_boundary(sol.slack, ds, ftb, limits.mask)

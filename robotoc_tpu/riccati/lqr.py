@@ -31,11 +31,20 @@ def _chol_solve(G, rhs):
 
 
 def backward(data: LQRData) -> LQRPolicy:
-    """Backward Riccati sweep over the stacked horizon."""
+    """Backward Riccati sweep over the stacked horizon. When the data
+    carries switching-constraint rows (Phix/Phiu/Pc/sw), every step takes
+    the pure-state-equality Schur branch with masked rows — the static-shape
+    analog of the reference's constrained factorization
+    (reference riccati_factorizer.cpp:58-89: S = Phiu G^-1 Phiu^T, second
+    LLT, constrained gains + multiplier factorization xi = Mx dx + mx)."""
+    constrained = data.Phix is not None
 
     def step(carry, blk):
         P_next, p_next = carry
-        A, B, xres, Qxx, Qxu, Quu, lx, lu = blk
+        if constrained:
+            A, B, xres, Qxx, Qxu, Quu, lx, lu, Phix, Phiu, Pc, sw = blk
+        else:
+            A, B, xres, Qxx, Qxu, Quu, lx, lu = blk
         AtP = A.T @ P_next
         BtP = B.T @ P_next
         F = Qxx + AtP @ A
@@ -46,20 +55,40 @@ def backward(data: LQRData) -> LQRPolicy:
         c, lower = cho_factor(G)
         K = -cho_solve((c, lower), H.T)
         k = -cho_solve((c, lower), gu)
+        lxt = lx + A.T @ Pxr_p
+        if constrained:
+            GiPhiuT = cho_solve((c, lower), Phiu.T)         # (nu, nf)
+            mm = sw[:, None] * sw[None, :]
+            S = (Phiu @ GiPhiuT) * mm + jnp.diag(1.0 - sw)
+            cS, lS = cho_factor(S)
+            Mx = cho_solve((cS, lS), (Phiu @ K + Phix) * sw[:, None])
+            mx = cho_solve((cS, lS), (Phiu @ k + Pc) * sw)
+            K = K - GiPhiuT @ Mx
+            k = k - GiPhiuT @ mx
+            P = F + H @ K + Phix.T @ Mx
+            p = lxt + H @ k + Phix.T @ mx
+            P = 0.5 * (P + P.T)
+            return (P, p), (P, p, K, k, Mx, mx, GiPhiuT, cS)
         P = F + H @ K
         P = 0.5 * (P + P.T)
-        p = lx + A.T @ Pxr_p + H @ k
+        p = lxt + H @ k
         return (P, p), (P, p, K, k)
 
     PN = 0.5 * (data.Qxx_N + data.Qxx_N.T)
-    (_, _), (Ps, ps, Ks, ks) = jax.lax.scan(
-        step, (PN, data.lx_N),
-        (data.A, data.B, data.xres, data.Qxx, data.Qxu, data.Quu,
-         data.lx, data.lu),
-        reverse=True)
+    xs = (data.A, data.B, data.xres, data.Qxx, data.Qxu, data.Quu,
+          data.lx, data.lu)
+    if constrained:
+        xs = xs + (data.Phix, data.Phiu, data.Pc, data.sw)
+        (_, _), (Ps, ps, Ks, ks, Mxs, mxs, GiPs, Schs) = jax.lax.scan(
+            step, (PN, data.lx_N), xs, reverse=True)
+    else:
+        (_, _), (Ps, ps, Ks, ks) = jax.lax.scan(
+            step, (PN, data.lx_N), xs, reverse=True)
+        Mxs = mxs = GiPs = Schs = None
     P_all = jnp.concatenate([Ps, PN[None]], axis=0)
     p_all = jnp.concatenate([ps, data.lx_N[None]], axis=0)
-    return LQRPolicy(K=Ks, k=ks, P=P_all, p=p_all)
+    return LQRPolicy(K=Ks, k=ks, P=P_all, p=p_all,
+                     Mx=Mxs, mx=mxs, GiPhiuT=GiPs, S_chol=Schs)
 
 
 def forward(data: LQRData, policy: LQRPolicy, dx0):

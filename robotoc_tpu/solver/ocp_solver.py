@@ -51,6 +51,9 @@ class Solution:
     z_lim: jnp.ndarray
     s_cone: jnp.ndarray   # (N, 5*nc)
     z_cone: jnp.ndarray
+    xi: jnp.ndarray       # (N+1, nf) switching-constraint multipliers
+    # (reference split_solution.hpp xi_stack), stored at the constrained
+    # grid (two slots before the impact slot)
 
 
 @struct.dataclass
@@ -65,6 +68,13 @@ class SolverOptions:
     (riccati/parallel.py) instead of the serial scan."""
     enable_line_search: bool = struct.field(pytree_node=False, default=False)
     """Merit-backtracking line search (reference line_search/)."""
+    switching_constraints: bool = struct.field(
+        pytree_node=False, default=False)
+    """Impose the pure-state switching constraint (next impact's contact
+    placement at the predicted configuration) two grids before each impact
+    slot, with the constrained Riccati factorization
+    (reference switching_constraint.cpp + riccati_factorizer.cpp:58-89).
+    Only effective when n_reserved_events > 0."""
 
 
 class OCPSolver:
@@ -83,7 +93,13 @@ class OCPSolver:
         self.n_reserved_events = int(n_reserved_events)
         self.n_slots = self.N + 1 + self.n_reserved_events
         self.options = options
-        ei = self.n_reserved_events > 0
+        n_imp = self.n_reserved_events
+        enable_sw = bool(options.switching_constraints) and n_imp > 0
+        if enable_sw and options.parallel_riccati:
+            raise ValueError(
+                "switching_constraints require the serial-scan Riccati "
+                "(the associative-scan combiner has no constrained branch "
+                "yet); set parallel_riccati=False")
         global_lqr = plqr if options.parallel_riccati else lqr
         self._lqr = global_lqr
         # `costs` is a call-time pytree argument: the MPC layer swaps
@@ -91,17 +107,17 @@ class OCPSolver:
         self._solve = jax.jit(functools.partial(
             _solve, model, contacts, self.limits,
             options.max_iter, options.kkt_tol, options.barrier,
-            options.fraction_to_boundary_rule, ei,
+            options.fraction_to_boundary_rule, n_imp,
             riccati=global_lqr,
-            enable_ls=options.enable_line_search))
+            enable_ls=options.enable_line_search, enable_sw=enable_sw))
         self._update = jax.jit(functools.partial(
             _update, model, contacts, self.limits,
-            options.barrier, options.fraction_to_boundary_rule, ei,
+            options.barrier, options.fraction_to_boundary_rule, n_imp,
             riccati=global_lqr,
-            enable_ls=options.enable_line_search))
+            enable_ls=options.enable_line_search, enable_sw=enable_sw))
         self._kkt_error = jax.jit(functools.partial(
             _kkt_error, model, contacts, self.limits,
-            options.barrier, ei))
+            options.barrier, n_imp, enable_sw=enable_sw))
 
     def init_solution(self, grid: GridData, q, v,
                       f_init: Optional[jnp.ndarray] = None) -> Solution:
@@ -162,7 +178,8 @@ def make_initial_solution(model, contacts, limits, barrier,
                    s_lim=jnp.zeros((n1 - 1, 0), dtype),
                    z_lim=jnp.zeros((n1 - 1, 0), dtype),
                    s_cone=jnp.zeros((n1 - 1, 0), dtype),
-                   z_cone=jnp.zeros((n1 - 1, 0), dtype))
+                   z_cone=jnp.zeros((n1 - 1, 0), dtype),
+                   xi=jnp.zeros((n1, nf), dtype))
     return reinit_constraints(model, contacts, limits, barrier, grid, sol)
 
 
@@ -173,7 +190,7 @@ def reinit_constraints(model, contacts, limits, barrier, grid: GridData,
     and after every mesh refinement, ocp_solver.cpp:164,196)."""
     m = model
     e_lim = jl.constraint_values(m, limits, sol.q[:-1], sol.v[:-1],
-                                 sol.u[:-1])
+                                 sol.u[:-1], sol.a[:-1])
     s_lim, z_lim = pdipm.init_slack_dual(e_lim, barrier, limits.mask)
     cone_mask = jax.vmap(contacts.cone_mask)(grid.contact_mask[:-1]) > 0
     f_mask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
@@ -187,8 +204,23 @@ def reinit_constraints(model, contacts, limits, barrier, grid: GridData,
                        z_cone=z_cone)
 
 
-def _build(model, contacts, limits, barrier, enable_impacts,
-           costs, sol: Solution, grid: GridData, q_init, v_init):
+def _impact_slots(grid: GridData, n_imp: int):
+    """Indices of the impact/pass-through slots. The grid builders
+    (planner/contact_sequence.discretize, sto/discretization) guarantee
+    EXACTLY n_imp slots with is_impact == 1 among the stage slots, so the
+    static-size nonzero never pads with duplicate indices."""
+    return jnp.nonzero(grid.is_impact[:-1], size=n_imp)[0]
+
+
+def _build(model, contacts, limits, barrier, n_imp,
+           costs, sol: Solution, grid: GridData, q_init, v_init,
+           enable_sw=False):
+    """n_imp (static int): number of impact/pass-through slots in the grid.
+    Impact stages are evaluated ONLY on those slots (gather -> scatter), not
+    on all N grids — the reserved-slot design's FLOP saving (round-1 review
+    item: the dual full-horizon evaluation did ~2x redundant work).
+    enable_sw: assemble the switching constraints (condensed rows Phix/Phiu
+    attached two slots before each impact slot)."""
     dt = grid.dt
     fn = jax.vmap(functools.partial(
         stage.stage_eval, model, contacts, costs, limits))
@@ -199,22 +231,86 @@ def _build(model, contacts, limits, barrier, enable_impacts,
                 sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
                 grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1],
                 grid.R_ref[:-1])
-    if enable_impacts:
+    if n_imp > 0:
+        idx = _impact_slots(grid, n_imp)
+        g = lambda x: jnp.take(x, idx, axis=0)
         ifn = jax.vmap(functools.partial(
             istage.stage_eval, model, contacts, costs, limits))
-        iblocks = ifn(grid.t[:-1], dt, jnp.full_like(dt, barrier),
-                      sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1],
-                      sol.f[:-1], sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1],
-                      sol.gmm[:-1], sol.lmd[1:], sol.gmm[1:],
-                      sol.q[1:], sol.v[1:],
-                      sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
-                      grid.imp_mask[:-1], grid.p_ref[:-1],
-                      grid.friction[:-1])
-        flag = grid.is_impact[:-1]
-        blocks = jax.tree.map(
-            lambda a, b: jnp.where(
-                flag.reshape((-1,) + (1,) * (a.ndim - 1)) > 0, a, b),
-            iblocks, blocks)
+        iblocks = ifn(g(grid.t[:-1]), g(dt),
+                      jnp.full((n_imp,), barrier, dt.dtype),
+                      g(sol.q[:-1]), g(sol.v[:-1]), g(sol.a[:-1]),
+                      g(sol.u[:-1]), g(sol.f[:-1]), g(sol.beta[:-1]),
+                      g(sol.mu[:-1]), g(sol.lmd[:-1]), g(sol.gmm[:-1]),
+                      g(sol.lmd[1:]), g(sol.gmm[1:]),
+                      g(sol.q[1:]), g(sol.v[1:]),
+                      g(sol.s_lim), g(sol.z_lim), g(sol.s_cone),
+                      g(sol.z_cone),
+                      g(grid.imp_mask[:-1]), g(grid.p_ref[:-1]),
+                      g(grid.friction[:-1]))
+        blocks = jax.tree.map(lambda b, ib: b.at[idx].set(ib),
+                              blocks, iblocks)
+    sw_fields = dict(Phix=None, Phiu=None, Pc=None, sw=None)
+    sw_lagrangian = jnp.zeros((), sol.q.dtype)
+    if n_imp > 0 and enable_sw:
+        from ..dynamics import switching_constraint as swc
+        nv, nu_dim = model.nv, model.dimu
+        nf = contacts.max_dimf
+        S1 = grid.n_slots - 1
+        idx = _impact_slots(grid, n_imp)
+        idx_sw = jnp.maximum(idx - 2, 0)
+        # valid: the two slots before the impact slot must be intermediate
+        imp_flag = grid.is_impact[:-1]
+        valid = ((idx >= 2)
+                 & (jnp.take(imp_flag, jnp.maximum(idx - 1, 0)) == 0)
+                 & (jnp.take(imp_flag, idx_sw) == 0))
+        sw_cmask = jnp.take(grid.imp_mask, idx, axis=0) \
+            * valid[:, None].astype(sol.q.dtype)
+        g = lambda x: jnp.take(x, idx_sw, axis=0)
+        fn_sw = jax.vmap(functools.partial(
+            swc.residual_and_jacs, model, contacts))
+        P_res, Phiq, Phiv, Phia = fn_sw(
+            g(sol.q[:-1]), g(sol.v[:-1]), g(sol.a[:-1]),
+            jnp.take(grid.dt, idx_sw), jnp.take(grid.dt,
+                                                jnp.maximum(idx - 1, 0)),
+            jnp.take(grid.p_ref, idx, axis=0),
+            jnp.take(grid.R_ref, idx, axis=0), sw_cmask)
+        G_g = jnp.take(blocks.G, idx_sw, axis=0)
+        c0_g = jnp.take(blocks.c0, idx_sw, axis=0)
+        Phix, Phiu, Pc = jax.vmap(
+            lambda pr, pq, pv, pa, gg, cc: swc.condense(
+                pr, pq, pv, pa, gg[:nv], cc[:nv], nv, nu_dim))(
+            P_res, Phiq, Phiv, Phia, G_g, c0_g)
+        rowmask = jax.vmap(contacts.force_mask)(sw_cmask)
+        xi_g = jnp.take(sol.xi, idx_sw, axis=0) * rowmask
+        # Lagrangian-gradient corrections on the condensed rows (exact:
+        # Phia^T xi rides the contact-dynamics condensation inside Phix/Phiu)
+        blocks = blocks._replace(
+            lx=blocks.lx.at[idx_sw].add(
+                jnp.einsum("kfx,kf->kx", Phix, xi_g)),
+            lu=blocks.lu.at[idx_sw].add(
+                jnp.einsum("kfu,kf->ku", Phiu, xi_g)))
+        # exact full-space KKT correction at the constrained slots
+        lq_g = g(blocks.lq_full) + jnp.einsum("kfq,kf->kq", Phiq, xi_g)
+        lv_g = g(blocks.lv_full) + jnp.einsum("kfq,kf->kq", Phiv, xi_g)
+        la_g = g(blocks.la_full) + jnp.einsum("kfq,kf->kq", Phia, xi_g)
+        delta = (jnp.sum(lq_g**2, axis=1) - jnp.sum(g(blocks.lq_full)**2,
+                                                    axis=1)
+                 + jnp.sum(lv_g**2, axis=1) - jnp.sum(g(blocks.lv_full)**2,
+                                                      axis=1)
+                 + jnp.sum(la_g**2, axis=1) - jnp.sum(g(blocks.la_full)**2,
+                                                      axis=1)
+                 + jnp.sum(P_res**2, axis=1))
+        blocks = blocks._replace(
+            kkt_sq=blocks.kkt_sq.at[idx_sw].add(delta))
+        zx = jnp.zeros((S1, nf, 2 * nv), sol.q.dtype)
+        zu = jnp.zeros((S1, nf, nu_dim), sol.q.dtype)
+        zc = jnp.zeros((S1, nf), sol.q.dtype)
+        sw_fields = dict(
+            Phix=zx.at[idx_sw].add(Phix * rowmask[..., None]),
+            Phiu=zu.at[idx_sw].add(Phiu * rowmask[..., None]),
+            Pc=zc.at[idx_sw].add(Pc * rowmask),
+            sw=zc.at[idx_sw].add(rowmask))
+        sw_lagrangian = jnp.sum(xi_g * P_res)
     tq = cost_base.quadratize_terminal(costs, model, sol.q[-1],
                                        sol.v[-1], grid.t[-1])
     cN = tq.cost
@@ -223,12 +319,13 @@ def _build(model, contacts, limits, barrier, enable_impacts,
     QxxN = jnp.block([[tq.Qqq, zb], [zb, tq.Qvv]])
     data = LQRData(A=blocks.A, B=blocks.B, xres=blocks.xres,
                    Qxx=blocks.Qxx, Qxu=blocks.Qxu, Quu=blocks.Quu,
-                   lx=blocks.lx, lu=blocks.lu, Qxx_N=QxxN, lx_N=lxN)
+                   lx=blocks.lx, lu=blocks.lu, Qxx_N=QxxN, lx_N=lxN,
+                   **sw_fields)
     dq0 = rm.difference(model, sol.q[0], q_init)
     dx0 = jnp.concatenate([dq0, v_init - sol.v[0]])
     kkt_sq = (jnp.sum(blocks.kkt_sq) + jnp.sum(lxN**2) + jnp.sum(dx0**2))
     total_cost = jnp.sum(blocks.cost) + cN
-    return data, blocks, dx0, kkt_sq, total_cost
+    return data, blocks, dx0, kkt_sq, total_cost, sw_lagrangian
 
 
 class Directions(NamedTuple):
@@ -247,14 +344,16 @@ class Directions(NamedTuple):
     ds_cone: jnp.ndarray
     dz_cone: jnp.ndarray
     cone_mask: jnp.ndarray
+    dxi: jnp.ndarray
 
 
-def _expand_directions(model, contacts, limits, barrier, enable_impacts,
+def _expand_directions(model, contacts, limits, barrier, n_imp,
                        blocks, sol: Solution, grid: GridData,
                        dx, du, dlmd_all) -> Directions:
     """Recover (da, df, dbeta, dmu, slack/dual dirs) for every grid from the
     LQR directions (reference expandPrimal/expandDual, OMP loop
-    direct_multiple_shooting.cpp) — one vmapped kernel."""
+    direct_multiple_shooting.cpp) — one vmapped kernel. Impact expansion
+    runs only on the n_imp impact slots (gather -> scatter)."""
     nv = model.nv
     dq, dv = dx[:-1, :nv], dx[:-1, nv:]
     dqN, dvN = dx[-1, :nv], dx[-1, nv:]
@@ -266,37 +365,35 @@ def _expand_directions(model, contacts, limits, barrier, enable_impacts,
         sol.f[:-1], sol.beta[:-1], sol.mu[:-1],
         sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
         grid.contact_mask[:-1], grid.friction[:-1], sol.q[:-1])
-    if enable_impacts:
+    if n_imp > 0:
+        idx = _impact_slots(grid, n_imp)
+        g = lambda x: jnp.take(x, idx, axis=0)
         iexp = jax.vmap(functools.partial(
             istage.expand, model, contacts, barrier))
         (ida, idf, idbeta, idmu, ids_cone, idz_cone) = iexp(
-            blocks, dq, dv, sol.gmm[1:] + dgmm[1:],
-            sol.f[:-1], sol.beta[:-1], sol.mu[:-1],
-            sol.s_cone, sol.z_cone, grid.imp_mask[:-1],
-            grid.friction[:-1], sol.q[:-1])
-        flag = grid.is_impact[:-1]
-
-        def sel(a, b):
-            return jnp.where(
-                flag.reshape((-1,) + (1,) * (a.ndim - 1)) > 0, a, b)
-
-        da = sel(ida, da)
-        df = sel(idf, df)
-        dbeta = sel(idbeta, dbeta)
-        dmu = sel(idmu, dmu)
-        ds_cone = sel(ids_cone, ds_cone)
-        dz_cone = sel(idz_cone, dz_cone)
-        du = sel(jnp.zeros_like(du), du)
-        ds_lim = sel(jnp.zeros_like(ds_lim), ds_lim)
-        dz_lim = sel(jnp.zeros_like(dz_lim), dz_lim)
-        cone_mask = cone_mask | (
-            jax.vmap(contacts.cone_mask)(grid.imp_mask[:-1]) > 0)
+            jax.tree.map(g, blocks), g(dq), g(dv),
+            g(sol.gmm[1:] + dgmm[1:]),
+            g(sol.f[:-1]), g(sol.beta[:-1]), g(sol.mu[:-1]),
+            g(sol.s_cone), g(sol.z_cone), g(grid.imp_mask[:-1]),
+            g(grid.friction[:-1]), g(sol.q[:-1]))
+        da = da.at[idx].set(ida)
+        df = df.at[idx].set(idf)
+        dbeta = dbeta.at[idx].set(idbeta)
+        dmu = dmu.at[idx].set(idmu)
+        ds_cone = ds_cone.at[idx].set(ids_cone)
+        dz_cone = dz_cone.at[idx].set(idz_cone)
+        du = du.at[idx].set(0.0)
+        ds_lim = ds_lim.at[idx].set(0.0)
+        dz_lim = dz_lim.at[idx].set(0.0)
+        icone = jax.vmap(contacts.cone_mask)(g(grid.imp_mask[:-1])) > 0
+        cone_mask = cone_mask.at[idx].set(g(cone_mask) | icone)
     dq_all = jnp.concatenate([dq, dqN[None]], axis=0)
     dv_all = jnp.concatenate([dv, dvN[None]], axis=0)
+    dxi = jnp.zeros_like(sol.xi[:-1])
     return Directions(dq_all=dq_all, dv_all=dv_all, da=da, du=du, df=df,
                       dlmd=dlmd, dgmm=dgmm, dbeta=dbeta, dmu=dmu,
                       ds_lim=ds_lim, dz_lim=dz_lim, ds_cone=ds_cone,
-                      dz_cone=dz_cone, cone_mask=cone_mask)
+                      dz_cone=dz_cone, cone_mask=cone_mask, dxi=dxi)
 
 
 def _step_sizes(limits, ftb, sol: Solution, d: Directions):
@@ -332,18 +429,44 @@ def _integrate_solution(model, sol: Solution, d: Directions, a_p, a_d):
         z_lim=sol.z_lim + a_d * d.dz_lim,
         s_cone=sol.s_cone + a_p * d.ds_cone,
         z_cone=sol.z_cone + a_d * d.dz_cone,
+        xi=sol.xi + a_p * _pad0(d.dxi),
     )
 
 
-def _update(model, contacts, limits, barrier, ftb, enable_impacts,
+def _update(model, contacts, limits, barrier, ftb, n_imp,
             costs, sol: Solution, grid: GridData, q_init, v_init,
-            riccati=lqr, enable_ls=False):
-    data, blocks, dx0, kkt_sq, _ = _build(model, contacts, limits,
-                                          barrier, enable_impacts, costs,
-                                          sol, grid, q_init, v_init)
+            riccati=lqr, enable_ls=False, enable_sw=False):
+    built = _build(model, contacts, limits, barrier, n_imp, costs,
+                   sol, grid, q_init, v_init, enable_sw=enable_sw)
+    out = _direction_and_step(model, contacts, limits, barrier, ftb,
+                              n_imp, costs, sol, grid, q_init, v_init,
+                              built, riccati=riccati, enable_ls=enable_ls,
+                              enable_sw=enable_sw)
+    return out[:4]
+
+
+def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
+                        costs, sol: Solution, grid: GridData, q_init,
+                        v_init, built, riccati=lqr, enable_ls=False,
+                        enable_sw=False, filt=None, ls_it=0):
+    """Newton direction + globalized step from an already-evaluated build
+    (lets the solve loop reuse one _build per iteration for both the step
+    and the convergence check). With enable_ls == "filter", `filt` is the
+    Fletcher-Leyffer filter array carried by the solve loop and the updated
+    filter is returned as the 5th element."""
+    data, blocks, dx0, kkt_sq, _, _ = built
     dx, du, dlmd_all, policy = riccati.solve(data, dx0)
-    d = _expand_directions(model, contacts, limits, barrier, enable_impacts,
+    d = _expand_directions(model, contacts, limits, barrier, n_imp,
                            blocks, sol, grid, dx, du, dlmd_all)
+    if policy.Mx is not None:
+        # switching multiplier DIRECTION: because the condensed gradients
+        # lx/lu already carry Phix^T xi_old / Phiu^T xi_old (built in
+        # _build), the constrained Riccati's multiplier Mx dx + mx is the
+        # Newton DELTA on xi — same convention as the costates, whose lx
+        # rows carry the current lmd/gmm.
+        dxi = (jnp.einsum("kfx,kx->kf", policy.Mx, dx[:-1])
+               + policy.mx) * data.sw
+        d = d._replace(dxi=dxi)
     (da, df, dbeta, dmu, ds_lim, dz_lim, ds_cone, dz_cone) = (
         d.da, d.df, d.dbeta, d.dmu, d.ds_lim, d.dz_lim, d.ds_cone,
         d.dz_cone)
@@ -374,6 +497,29 @@ def _update(model, contacts, limits, barrier, ftb, enable_impacts,
             return c + rho * v
 
         a_p = ls.search(trial, merit, a_p)
+    if enable_ls == "filter":
+        # Fletcher-Leyffer filter globalization (reference default,
+        # line_search.cpp:58-84 + line_search_filter.hpp)
+        from ..line_search import line_search as ls
+
+        def trial_f(alpha):
+            return sol.replace(
+                q=rm.integrate(model, sol.q, alpha * dq_all),
+                v=sol.v + alpha * dv_all,
+                a=sol.a + alpha * pad0_ls(da),
+                u=sol.u + alpha * pad0_ls(du),
+                f=sol.f + alpha * pad0_ls(df),
+                s_lim=sol.s_lim + alpha * ds_lim,
+                s_cone=sol.s_cone + alpha * ds_cone)
+
+        def eval_cv(s):
+            return ls.eval_ocp(model, contacts, limits, barrier, costs, s,
+                               grid, q_init, v_init)
+
+        if filt is None:
+            filt = ls.empty_filter(sol.q.dtype)
+        a_p, c_acc, v_acc = ls.filter_search(trial_f, eval_cv, a_p, filt)
+        filt = ls.filter_augment(filt, ls_it, c_acc, v_acc)
     if enable_ls == "kkt":
         # KKT-residual backtracking: accept the largest step that reduces
         # the FULL nonlinear KKT norm. More expensive per trial (one stage
@@ -383,9 +529,10 @@ def _update(model, contacts, limits, barrier, ftb, enable_impacts,
         # cycle near the solution.
         def kkt_at(ap, ad):
             trial_sol = _integrate_solution(model, sol, d, ap, ad)
-            _, _, _, k_sq, _ = _build(model, contacts, limits, barrier,
-                                      enable_impacts, costs, trial_sol,
-                                      grid, q_init, v_init)
+            _, _, _, k_sq, _, _ = _build(model, contacts, limits, barrier,
+                                         n_imp, costs, trial_sol,
+                                         grid, q_init, v_init,
+                                         enable_sw=enable_sw)
             return k_sq
 
         def cond(state):
@@ -403,71 +550,135 @@ def _update(model, contacts, limits, barrier, ftb, enable_impacts,
         a_p = scale * a_p
         a_d = scale * a_d
     new = _integrate_solution(model, sol, d, a_p, a_d)
+    if enable_ls == "filter":
+        return new, jnp.sqrt(kkt_sq), a_p, policy, filt
     return new, jnp.sqrt(kkt_sq), a_p, policy
 
 
-def _kkt_error(model, contacts, limits, barrier, enable_impacts,
-               costs, sol, grid, q_init, v_init):
-    _, _, _, kkt_sq, _ = _build(model, contacts, limits, barrier,
-                                enable_impacts, costs, sol, grid, q_init,
-                                v_init)
+def _kkt_error(model, contacts, limits, barrier, n_imp,
+               costs, sol, grid, q_init, v_init, enable_sw=False):
+    _, _, _, kkt_sq, _, _ = _build(model, contacts, limits, barrier,
+                                   n_imp, costs, sol, grid, q_init,
+                                   v_init, enable_sw=enable_sw)
     return jnp.sqrt(kkt_sq)
 
 
 def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
-           enable_impacts, costs, sol, grid, q_init, v_init, riccati=lqr):
+           n_imp, costs, sol, grid, q_init, v_init, riccati=lqr,
+           enable_ls=False, enable_sw=False):
+    """Newton loop with ONE stage build per iteration: the build evaluated
+    for the convergence check is reused for the next direction (the
+    reference also evaluates the KKT system once per iteration,
+    ocp_solver.cpp:111-145; round-1 did it twice). Non-finite KKT (failed
+    Cholesky, NaN dynamics) aborts cleanly with convergence=False instead
+    of propagating NaNs (reference asserts LLT success,
+    riccati_factorizer.cpp:50,64)."""
+
+    def do_build(s):
+        return _build(model, contacts, limits, barrier, n_imp, costs, s,
+                      grid, q_init, v_init, enable_sw=enable_sw)
+
+    from ..line_search import line_search as lsmod
+    use_filter = enable_ls == "filter"
+
     def cond(state):
-        _, it, kkt, _ = state
-        return (it < max_iter) & (kkt > kkt_tol)
+        _, _, it, kkt, _, ok, _ = state
+        return (it < max_iter) & (kkt > kkt_tol) & ok
 
     def body(state):
-        s, it, _, _ = state
-        new, _, alpha, _ = _update(model, contacts, limits, barrier, ftb,
-                                   enable_impacts, costs, s, grid, q_init,
-                                   v_init, riccati=riccati)
-        kkt = _kkt_error(model, contacts, limits, barrier,
-                         enable_impacts, costs, new, grid, q_init, v_init)
-        return new, it + 1, kkt, alpha
+        s, built, it, kkt, _, ok, filt = state
+        out = _direction_and_step(
+            model, contacts, limits, barrier, ftb, n_imp, costs, s, grid,
+            q_init, v_init, built, riccati=riccati, enable_ls=enable_ls,
+            enable_sw=enable_sw, filt=filt, ls_it=it)
+        new, _, alpha = out[0], out[1], out[2]
+        if use_filter:
+            filt = out[4]
+        built_new = do_build(new)
+        kkt_new = jnp.sqrt(built_new[3])
+        ok_new = jnp.isfinite(kkt_new)
+        # on numerical failure keep the last good iterate
+        new = jax.tree.map(
+            lambda a, b: jnp.where(ok_new, a, b), new, s)
+        return (new, built_new, it + 1,
+                jnp.where(ok_new, kkt_new, kkt), alpha, ok_new, filt)
 
-    kkt0 = _kkt_error(model, contacts, limits, barrier,
-                      enable_impacts, costs, sol, grid, q_init, v_init)
+    built0 = do_build(sol)
+    kkt0 = jnp.sqrt(built0[3])
     one = jnp.asarray(1.0, sol.q.dtype)
-    sol, iters, kkt, alpha = jax.lax.while_loop(
-        cond, body, (sol, jnp.asarray(0), kkt0, one))
-    return sol, dict(iterations=iters, kkt_error=kkt, last_step_size=alpha)
+    filt0 = lsmod.empty_filter(sol.q.dtype)
+    sol, _, iters, kkt, alpha, ok, _ = jax.lax.while_loop(
+        cond, body, (sol, built0, jnp.asarray(0), kkt0, one,
+                     jnp.isfinite(kkt0), filt0))
+    return sol, dict(iterations=iters, kkt_error=kkt,
+                     last_step_size=alpha,
+                     convergence=(kkt <= kkt_tol) & ok,
+                     numerical_failure=~ok)
 
 
 def align_solution(sol: Solution, old_grid: GridData,
-                   new_grid: GridData) -> Solution:
-    """Warm-start re-alignment across re-discretizations: map every new slot
-    to the nearest old slot of the same kind and gather the old solution
-    rows (reference: solver/solution_interpolator.cpp:21-76, with
-    impact-grid alignment at :46-52). Host-side index computation, one
-    device gather."""
+                   new_grid: GridData, model=None,
+                   order: str = "linear") -> Solution:
+    """Warm-start re-alignment across re-discretizations
+    (reference: solver/solution_interpolator.cpp:21-76, with impact-grid
+    alignment at :46-52). order="linear" interpolates each new slot between
+    its two bracketing old slots of the same kind — in time, with manifold
+    interpolation for q when `model` is given (the reference's
+    InterpolationOrder::Linear); order="zero" gathers the nearest old slot.
+    Impact slots map to the nearest old impact slot. Host-side index
+    computation, device gathers + one lerp."""
     import numpy as np
     t_old = np.asarray(old_grid.t)
     t_new = np.asarray(new_grid.t)
     imp_old = np.asarray(old_grid.is_impact) > 0
     imp_new = np.asarray(new_grid.is_impact) > 0
     S = t_new.shape[0]
-    idx = np.zeros(S, dtype=np.int32)
+    S_old = t_old.shape[0]
+    idx0 = np.zeros(S, dtype=np.int32)
+    idx1 = np.zeros(S, dtype=np.int32)
+    w = np.zeros(S)
+    reg_old = np.where(~imp_old)[0]
     for i in range(S):
-        same = np.where(imp_old == imp_new[i])[0]
-        if len(same) == 0:
-            same = np.arange(t_old.shape[0])
-        idx[i] = same[np.argmin(np.abs(t_old[same] - t_new[i]))]
-    idx_full = jnp.asarray(idx)
-    idx_stage = jnp.asarray(np.minimum(idx[:-1], t_old.shape[0] - 2))
+        if imp_new[i] or order == "zero" or len(reg_old) < 2:
+            same = np.where(imp_old == imp_new[i])[0]
+            if len(same) == 0:
+                same = np.arange(S_old)
+            j = same[np.argmin(np.abs(t_old[same] - t_new[i]))]
+            idx0[i] = idx1[i] = j
+        else:
+            j = int(np.searchsorted(t_old[reg_old], t_new[i], side="right"))
+            j = min(max(j, 1), len(reg_old) - 1)
+            a, b = reg_old[j - 1], reg_old[j]
+            idx0[i], idx1[i] = a, b
+            dtab = t_old[b] - t_old[a]
+            w[i] = 0.0 if dtab <= 1e-12 else np.clip(
+                (t_new[i] - t_old[a]) / dtab, 0.0, 1.0)
+    i0 = jnp.asarray(idx0)
+    i1 = jnp.asarray(idx1)
+    i0s = jnp.asarray(np.minimum(idx0[:-1], S_old - 2))
+    i1s = jnp.asarray(np.minimum(idx1[:-1], S_old - 2))
+    wf = jnp.asarray(w, sol.q.dtype)[:, None]
+    ws = wf[:-1]
 
-    def g_full(x):
-        return jnp.take(x, idx_full, axis=0)
+    def lin_full(x):
+        return (1.0 - wf) * jnp.take(x, i0, axis=0) \
+            + wf * jnp.take(x, i1, axis=0)
 
-    def g_stage(x):
-        return jnp.take(x, idx_stage, axis=0)
+    def lin_stage(x):
+        return (1.0 - ws) * jnp.take(x, i0s, axis=0) \
+            + ws * jnp.take(x, i1s, axis=0)
 
+    if model is not None:
+        q0 = jnp.take(sol.q, i0, axis=0)
+        q1 = jnp.take(sol.q, i1, axis=0)
+        q_new = jax.vmap(lambda a, b, t: rm.interpolate(model, a, b, t))(
+            q0, q1, wf[:, 0])
+    else:
+        q_new = lin_full(sol.q)
     return Solution(
-        q=g_full(sol.q), v=g_full(sol.v), a=g_full(sol.a), u=g_full(sol.u),
-        f=g_full(sol.f), lmd=g_full(sol.lmd), gmm=g_full(sol.gmm),
-        beta=g_full(sol.beta), mu=g_full(sol.mu),
-        s_lim=g_stage(sol.s_lim), z_lim=g_stage(sol.z_lim),
-        s_cone=g_stage(sol.s_cone), z_cone=g_stage(sol.z_cone))
+        q=q_new, v=lin_full(sol.v), a=lin_full(sol.a), u=lin_full(sol.u),
+        f=lin_full(sol.f), lmd=lin_full(sol.lmd), gmm=lin_full(sol.gmm),
+        beta=lin_full(sol.beta), mu=lin_full(sol.mu),
+        s_lim=lin_stage(sol.s_lim), z_lim=lin_stage(sol.z_lim),
+        s_cone=lin_stage(sol.s_cone), z_cone=lin_stage(sol.z_cone),
+        xi=lin_full(sol.xi))

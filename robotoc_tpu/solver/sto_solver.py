@@ -143,7 +143,8 @@ class OCPSolverSTO:
                     and disc.max_time_step(ts) > o.max_dt_mesh:
                 new_disc = disc.refine(ts)
                 sol = OS.align_solution(sol, disc.grid(ts),
-                                        new_disc.grid(ts))
+                                        new_disc.grid(ts),
+                                        model=self.model)
                 grid = new_disc.grid(ts)
                 sol = OS.reinit_constraints(self.model, self.contacts,
                                             self.limits, o.barrier, grid,
@@ -169,12 +170,12 @@ def _linearized_build(model, contacts, limits, barrier, disc, costs, sol,
                       q_init, v_init, ts):
     """Primal build + tangent columns of (xres, lx, lu, Lagrangian) wrt the
     switching times: one traced primal, E cheap tangent replays."""
-    enable_impacts = True
+    n_imp = disc.n_impact_slots
 
     def fbuild(ts_):
         grid = disc.grid(ts_)
-        data, blocks, dx0, kkt_sq, total_cost = OS._build(
-            model, contacts, limits, barrier, enable_impacts, costs, sol,
+        data, blocks, dx0, kkt_sq, total_cost, _ = OS._build(
+            model, contacts, limits, barrier, n_imp, costs, sol,
             grid, q_init, v_init)
         lam = jnp.concatenate([sol.lmd[1:], sol.gmm[1:]], axis=1)
         scalar = total_cost + jnp.sum(lam * data.xres)
@@ -263,7 +264,8 @@ def _sto_update(model, contacts, limits, barrier, ftb,
     # solution Newton step at the moved grid, with the KKT-residual
     # backtracking (globally monotone on the OCP rows at fixed ts_new)
     new_sol, _, a_p, _ = OS._update(model, contacts, limits, barrier, ftb,
-                                    True, costs, sol, disc.grid(ts_new),
+                                    disc.n_impact_slots, costs, sol,
+                                    disc.grid(ts_new),
                                     q_init, v_init, enable_ls="kkt")
 
     lt_kkt = (lt_dyn + lt_sto + dwell_con.J.T @ st.dual) * mask
@@ -282,9 +284,9 @@ def _sto_kkt_error(model, contacts, limits, barrier,
 
     def scalar_fn(ts_):
         grid = disc.grid(ts_)
-        data, _, _, kkt_sq, total_cost = OS._build(
-            model, contacts, limits, barrier, True, costs, sol, grid,
-            q_init, v_init)
+        data, _, _, kkt_sq, total_cost, _ = OS._build(
+            model, contacts, limits, barrier, disc.n_impact_slots, costs,
+            sol, grid, q_init, v_init)
         lam = jnp.concatenate([sol.lmd[1:], sol.gmm[1:]], axis=1)
         return total_cost + jnp.sum(lam * data.xres), kkt_sq
 

@@ -31,6 +31,7 @@ from flax import struct
 from ..constraints import joint_limits as jl
 from ..constraints import pdipm
 from ..core.structs import LQRData, PerformanceIndex
+from ..costs import base as cost_base
 from ..costs import config_cost as cc
 from ..models import robot as rm
 from ..riccati import lqr
@@ -64,14 +65,18 @@ class UnconstrOCPSolver:
     """User-facing solver. Holds the problem definition; all state is
     functional (UnconstrSolution pytrees in/out)."""
 
-    def __init__(self, model: rm.RobotModel, cost: cc.ConfigurationSpaceCost,
+    def __init__(self, model: rm.RobotModel, cost,
                  limits: Optional[jl.JointLimits], T: float, N: int,
-                 options: SolverOptions = SolverOptions()):
+                 options: SolverOptions = SolverOptions(), t0: float = 0.0):
         assert not model.floating_base, \
             "UnconstrOCPSolver requires a fixed-base robot (reference " \
             "solver/unconstr_ocp_solver.hpp)"
         self.model = model
-        self.cost = cost
+        # generic cost container: any tuple of cost components
+        # (ConfigurationSpaceCost, TaskSpace3D/6DCost, CoMCost, ...)
+        self.cost = tuple(cost) if isinstance(cost, (tuple, list)) \
+            else (cost,)
+        self.t0 = float(t0)
         self.limits = limits if limits is not None else \
             jl.make_joint_limits(model)
         self.T = float(T)
@@ -81,10 +86,10 @@ class UnconstrOCPSolver:
         self._solve = jax.jit(functools.partial(
             _solve, model, self.cost, self.limits, self.dt, self.N,
             options.max_iter, options.kkt_tol, options.barrier,
-            options.fraction_to_boundary_rule))
+            options.fraction_to_boundary_rule, self.t0))
         self._kkt_error = jax.jit(functools.partial(
             _kkt_error, model, self.cost, self.limits, self.dt,
-            options.barrier))
+            options.barrier, self.t0))
 
     def init_solution(self, q, v) -> UnconstrSolution:
         n1 = self.N + 1
@@ -94,7 +99,7 @@ class UnconstrOCPSolver:
         v = jnp.broadcast_to(jnp.asarray(v, dtype), (n1, nv))
         z = jnp.zeros((n1, nv), dtype)
         e = jl.constraint_values(self.model, self.limits, q[:-1], v[:-1],
-                                 z[:-1, :self.model.dimu])
+                                 z[:-1, :self.model.dimu], z[:-1])
         s0, z0 = pdipm.init_slack_dual(e, self.options.barrier,
                                        self.limits.mask)
         return UnconstrSolution(q=q, v=v, a=z, u=z, lmd=z, gmm=z, beta=z,
@@ -117,30 +122,34 @@ class UnconstrOCPSolver:
 # Functional core
 # ---------------------------------------------------------------------------
 
-def _stage_eval(model, cost, limits, dt, barrier, q, v, a, u, beta,
+def _stage_eval(model, cost, limits, dt, barrier, t, q, v, a, u, beta,
                 lmd, gmm, lmd_n, gmm_n, q_n, v_n, s, z):
     """Everything for one intermediate grid. Returns LQR blocks + expansion
-    data + KKT residuals. vmapped over the horizon."""
+    data + KKT residuals. vmapped over the horizon. `cost` is the generic
+    component container (costs/base.py) — any tuple of components."""
     nv = model.nv
     # Inverse dynamics + derivatives (the hot kernel)
     ID = rm.rnea(model, q, v, a)
     e_id = ID - u
     dIDdq, dIDdv, M = rm.rnea_derivatives(model, q, v, a)
     # Cost quadratization (dt-scaled)
-    c, lq_c, lv_c, la_c, lu_c, Wq, Wv, Wa, Wu = cc.quadratize_stage(
-        model, cost, q, v, a, u, dt)
+    quad = cost_base.quadratize_stage(cost, model, 0, q, v, a, u,
+                                      jnp.zeros((0,), q.dtype), t, dt)
+    c, lq_c, lv_c, la_c, lu_c = (quad.cost, quad.lq, quad.lv, quad.la,
+                                 quad.lu)
+    Wq, Wv, Wa, Wu = quad.Qqq, quad.Qvv, quad.Qaa, quad.Quu
     # Constraints (PDIPM)
-    e = jl.constraint_values(model, limits, q, v, u)
-    Hq_d, Hv_d, Hu_d, gq_cd, gv_cd, gu_cd = jl.condense(
+    e = jl.constraint_values(model, limits, q, v, u, a)
+    Hq_d, Hv_d, Hu_d, Ha_d, gq_cd, gv_cd, gu_cd, ga_cd = jl.condense(
         model, limits, e, s, z, barrier)
-    zq, zv, zu = jl.dual_residual(model, limits, z)
+    zq, zv, zu, za = jl.dual_residual(model, limits, z)
     # State equation residuals
     Fq = q + dt * v - q_n
     Fv = v + dt * a - v_n
     # Full KKT residuals (for the error norm; duals at current iterate)
     lq = lq_c + zq + dIDdq.T @ beta + lmd_n - lmd
     lv = lv_c + zv + dIDdv.T @ beta + dt * lmd_n + gmm_n - gmm
-    la = la_c + M.T @ beta + dt * gmm_n
+    la = la_c + za + M.T @ beta + dt * gmm_n
     lu = lu_c + zu - beta
     # Condensing of (u, beta): Huu du + gu0 = beta_new.
     # Condensed gradients carry the full dual term J^T z PLUS the PDIPM
@@ -151,14 +160,14 @@ def _stage_eval(model, cost, limits, dt, barrier, q, v, a, u, beta,
     gID = gu0 + Huu_diag * e_id
     lq_t = lq_c + zq + gq_cd + dIDdq.T @ gID + lmd_n - lmd
     lv_t = lv_c + zv + gv_cd + dIDdv.T @ gID + dt * lmd_n + gmm_n - gmm
-    la_t = la_c + M.T @ gID + dt * gmm_n
+    la_t = la_c + za + ga_cd + M.T @ gID + dt * gmm_n
     HJ = Huu_diag[:, None]
     Qqq = Wq + jnp.diag(Hq_d) + dIDdq.T @ (HJ * dIDdq)
     Qqv = dIDdq.T @ (HJ * dIDdv)
     Qqa = dIDdq.T @ (HJ * M)
     Qvv = Wv + jnp.diag(Hv_d) + dIDdv.T @ (HJ * dIDdv)
     Qva = dIDdv.T @ (HJ * M)
-    Qaa = Wa + M.T @ (HJ * M)
+    Qaa = Wa + jnp.diag(Ha_d) + M.T @ (HJ * M)
     # LQR blocks over x = (q, v), control = a
     eye = jnp.eye(nv, dtype=q.dtype)
     zero = jnp.zeros_like(eye)
@@ -187,17 +196,20 @@ def _stage_eval(model, cost, limits, dt, barrier, q, v, a, u, beta,
     return (A, B, xres, Qxx, Qxu, Qaa, lx, la_t), aux, perf
 
 
-def _build_kkt(model, cost, limits, dt, barrier, sol, q_init, v_init):
+def _build_kkt(model, cost, limits, dt, barrier, t0, sol, q_init, v_init):
+    N = sol.q.shape[0] - 1
+    ts = t0 + dt * jnp.arange(N, dtype=sol.q.dtype)
     stage_fn = jax.vmap(functools.partial(
         _stage_eval, model, cost, limits, dt, barrier))
     blocks, aux, perf = stage_fn(
-        sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.beta[:-1],
+        ts, sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.beta[:-1],
         sol.lmd[:-1], sol.gmm[:-1], sol.lmd[1:], sol.gmm[1:],
         sol.q[1:], sol.v[1:], sol.slack, sol.dual)
     A, B, xres, Qxx, Qxu, Quu, lx, lu = blocks
     # Terminal stage
-    cN, lqN, lvN, WqN, WvN = cc.quadratize_terminal(
-        model, cost, sol.q[-1], sol.v[-1])
+    tq = cost_base.quadratize_terminal(cost, model, sol.q[-1], sol.v[-1],
+                                       t0 + dt * N)
+    cN, lqN, lvN, WqN, WvN = tq.cost, tq.lq, tq.lv, tq.Qqq, tq.Qvv
     lxN = jnp.concatenate([lqN - sol.lmd[-1], lvN - sol.gmm[-1]])
     zb = jnp.zeros_like(WqN)
     QxxN = jnp.block([[WqN, zb], [zb, WvN]])
@@ -215,10 +227,17 @@ def _build_kkt(model, cost, limits, dt, barrier, sol, q_init, v_init):
     return data, aux, perf_idx, dx0
 
 
-def _update(model, cost, limits, dt, barrier, ftb, sol, q_init, v_init):
+def _update(model, cost, limits, dt, barrier, ftb, t0, sol, q_init, v_init):
     """One full Newton update; returns (new sol, kkt_error_sqrt, alpha)."""
-    data, aux, perf, dx0 = _build_kkt(model, cost, limits, dt, barrier,
-                                      sol, q_init, v_init)
+    built = _build_kkt(model, cost, limits, dt, barrier, t0,
+                       sol, q_init, v_init)
+    return _direction_step(model, limits, barrier, ftb, built, sol)
+
+
+def _direction_step(model, limits, barrier, ftb, built, sol):
+    """Newton direction + step from an existing build (single-build loop
+    support, mirroring the contact solver)."""
+    data, aux, perf, dx0 = built
     dx, da, dlmdgmm, _ = lqr.solve(data, dx0)
     nv = model.nv
     dq, dv = dx[:-1, :nv], dx[:-1, nv:]
@@ -228,7 +247,7 @@ def _update(model, cost, limits, dt, barrier, ftb, sol, q_init, v_init):
           + jnp.einsum("nij,nj->ni", aux["dIDdv"], dv)
           + jnp.einsum("nij,nj->ni", aux["M"], da) + aux["e_id"])
     dbeta = aux["gu0"] + aux["Huu_diag"] * du - sol.beta[:-1]
-    de = jl.constraint_direction(model, limits, dq, dv, du)
+    de = jl.constraint_direction(model, limits, dq, dv, du, da)
     ds, dz = pdipm.expand_slack_dual(aux["e"], sol.slack, sol.dual,
                                      barrier, de, limits.mask)
     # Fraction-to-boundary step sizes
@@ -251,31 +270,44 @@ def _update(model, cost, limits, dt, barrier, ftb, sol, q_init, v_init):
     return new, jnp.sqrt(perf.kkt_error), a_p, perf
 
 
-def _kkt_error(model, cost, limits, dt, barrier, sol, q_init, v_init):
-    _, _, perf, _ = _build_kkt(model, cost, limits, dt, barrier, sol,
+def _kkt_error(model, cost, limits, dt, barrier, t0, sol, q_init, v_init):
+    _, _, perf, _ = _build_kkt(model, cost, limits, dt, barrier, t0, sol,
                                q_init, v_init)
     return jnp.sqrt(perf.kkt_error)
 
 
 def _solve(model, cost, limits, dt, N, max_iter, kkt_tol, barrier, ftb,
-           sol, q_init, v_init):
-    """Full Newton loop as one XLA computation (lax.while_loop)."""
+           t0, sol, q_init, v_init):
+    """Full Newton loop as one XLA computation (lax.while_loop). One
+    _build_kkt per iteration: the convergence-check build is reused for the
+    next Newton direction (same single-build structure as the contact
+    solver). Non-finite KKT aborts with the last good iterate."""
 
-    def cond(state):
-        sol, it, kkt, _ = state
-        return (it < max_iter) & (kkt > kkt_tol)
+    def do_build(s):
+        return _build_kkt(model, cost, limits, dt, barrier, t0, s,
+                          q_init, v_init)
 
-    def body(state):
-        sol, it, _, _ = state
-        new, kkt_pre, alpha, _ = _update(model, cost, limits, dt, barrier,
-                                         ftb, sol, q_init, v_init)
-        kkt_post = _kkt_error(model, cost, limits, dt, barrier, new,
-                              q_init, v_init)
-        return new, it + 1, kkt_post, alpha
+    def cond2(state):
+        sol, built, it, kkt, _, ok = state
+        return (it < max_iter) & (kkt > kkt_tol) & ok
 
-    kkt0 = _kkt_error(model, cost, limits, dt, barrier, sol, q_init, v_init)
+    def body2(state):
+        sol, built, it, kkt, _, ok = state
+        new, _, alpha, _ = _direction_step(model, limits, barrier, ftb,
+                                           built, sol)
+        built_new = do_build(new)
+        kkt_new = jnp.sqrt(built_new[2].kkt_error)
+        ok_new = jnp.isfinite(kkt_new)
+        new = jax.tree.map(lambda a, b: jnp.where(ok_new, a, b), new, sol)
+        return (new, built_new, it + 1, jnp.where(ok_new, kkt_new, kkt),
+                alpha, ok_new)
+
+    built0 = do_build(sol)
+    kkt0 = jnp.sqrt(built0[2].kkt_error)
     one = jnp.asarray(1.0, sol.q.dtype)
-    sol, iters, kkt, alpha = jax.lax.while_loop(
-        cond, body, (sol, jnp.asarray(0), kkt0, one))
-    stats = dict(iterations=iters, kkt_error=kkt, last_step_size=alpha)
+    sol, _, iters, kkt, alpha, ok = jax.lax.while_loop(
+        cond2, body2, (sol, built0, jnp.asarray(0), kkt0, one,
+                       jnp.isfinite(kkt0)))
+    stats = dict(iterations=iters, kkt_error=kkt, last_step_size=alpha,
+                 convergence=(kkt <= kkt_tol) & ok)
     return sol, stats

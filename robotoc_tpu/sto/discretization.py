@@ -91,6 +91,7 @@ class PhaseDiscretization:
             bool(sto_flags[e[0]]) if e[0] < len(sto_flags) else True
             for e in events)
         self.ts0 = np.asarray([e[1] for e in events], float)
+        self.n_impact_slots = int(sum(1 for e in self.event_is_impact if e))
 
         b0 = np.concatenate([[t0], self.ts0, [t0 + T]])
         dwell0 = np.diff(b0)

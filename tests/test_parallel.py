@@ -53,13 +53,13 @@ def test_sharded_fleet_matches_single_device():
 
     # single-device batched
     upd_local = par.make_batched_update(m, contacts, lim, (cost,), grid,
-                                        enable_impacts=False, max_iter=2)
+                                        n_imp=0, max_iter=2)
     sols_a, kkt_a = upd_local(sols, q0s, v0s)
 
     # sharded over the 8-device mesh
     mesh = par.scenario_mesh(8)
     upd_sharded = par.make_batched_update(m, contacts, lim, (cost,), grid,
-                                          enable_impacts=False, max_iter=2,
+                                          n_imp=0, max_iter=2,
                                           mesh=mesh)
     sols_s = par.shard_scenarios(mesh, sols)
     q0s_s = par.shard_scenarios(mesh, q0s)

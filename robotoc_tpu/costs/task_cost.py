@@ -289,3 +289,107 @@ class TaskSpace6DCost:
         c, lq, Qqq = self._quad(model, q, t, self.weight_impact)
         out = ImpactQuad.zeros(model.nv, model.dtype)
         return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-frame cost (compile-size optimization)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class MultiFrameTaskCost:
+    """All swing-foot position targets + the CoM target in ONE
+    forward-kinematics chain and ONE tangent-space jacfwd.
+
+    Functionally equal to (TaskSpace3DCost per foot) + CoMCost — the gait
+    MPC's cost stack (reference mpc_trot.cpp:42-81 builds exactly that) —
+    but fused: the round-2 graph profile showed five separate FK+jacfwd
+    chains dominating the stage kernel's XLA module (29k of 58k HLO lines),
+    which in turn dominated the TPU remote-compile budget.
+
+    foot_refs: a STACKED StepSwingFootRef (every leaf with a leading (nc,)
+    axis); com_ref: a StepCoMRef."""
+    frame_ids: tuple = struct.field(pytree_node=False)
+    foot_weight: jnp.ndarray            # (3,)
+    foot_weight_terminal: jnp.ndarray
+    foot_weight_impact: jnp.ndarray
+    com_weight: jnp.ndarray             # (3,)
+    com_weight_terminal: jnp.ndarray
+    com_weight_impact: jnp.ndarray
+    foot_refs: object
+    com_ref: object
+
+    def _task(self, model, q):
+        R_w, p_w = rm.forward_kinematics(model, q)
+        feet = [rm.frame_placement(model, fid, R_w, p_w)[1]
+                for fid in self.frame_ids]
+        ci = (R_w @ model.com[..., None])[..., 0] + p_w
+        com = (jnp.sum(model.mass[:, None] * ci, axis=-2)
+               / jnp.sum(model.mass))
+        return jnp.concatenate(feet + [com], axis=-1)
+
+    def _ref_active(self, t, dtype):
+        p_feet, act_feet = jax.vmap(lambda r: r(t))(self.foot_refs)
+        p_com, act_com = self.com_ref(t)
+        ref = jnp.concatenate([p_feet.reshape(-1), p_com])
+        act = jnp.concatenate(
+            [jnp.repeat(act_feet, 3),
+             jnp.full(3, act_com, dtype)])
+        return ref, act
+
+    def _w(self, w_foot, w_com):
+        nc = len(self.frame_ids)
+        return jnp.concatenate([jnp.tile(w_foot, nc), w_com])
+
+    def _quad(self, model, q, t, w_foot, w_com):
+        task = self._task(model, q)
+        ref, act = self._ref_active(t, q.dtype)
+        w = self._w(w_foot, w_com) * act
+        r = task - ref
+        J = rm.tangent_jacobian(model, q,
+                                lambda qq: self._task(model, qq))
+        wr = w * r
+        cost = 0.5 * jnp.sum(w * r * r)
+        lq = J.T @ wr
+        Qqq = J.T @ (w[:, None] * J)
+        return cost, lq, Qqq
+
+    # --- component interface (costs/base.py) ---
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        c, lq, Qqq = self._quad(model, q, t, self.foot_weight,
+                                self.com_weight)
+        out = StageQuad.zeros(model.nv, model.dimu, nf, q.dtype)
+        return out._replace(cost=dt * c, lq=dt * lq, Qqq=dt * Qqq)
+
+    def quadratize_terminal(self, model, q, v, t):
+        c, lq, Qqq = self._quad(model, q, t, self.foot_weight_terminal,
+                                self.com_weight_terminal)
+        out = TerminalQuad.zeros(model.nv, q.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        c, lq, Qqq = self._quad(model, q, t, self.foot_weight_impact,
+                                self.com_weight_impact)
+        out = ImpactQuad.zeros(model.nv, q.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        task = self._task(model, q)
+        ref, act = self._ref_active(t, q.dtype)
+        w = self._w(self.foot_weight, self.com_weight) * act
+        r = task - ref
+        return dt * 0.5 * jnp.sum(w * r * r)
+
+    def eval_terminal(self, model, q, v, t):
+        task = self._task(model, q)
+        ref, act = self._ref_active(t, q.dtype)
+        w = self._w(self.foot_weight_terminal,
+                    self.com_weight_terminal) * act
+        r = task - ref
+        return 0.5 * jnp.sum(w * r * r)
+
+    def eval_impact(self, model, q, v, dv, t):
+        task = self._task(model, q)
+        ref, act = self._ref_active(t, q.dtype)
+        w = self._w(self.foot_weight_impact, self.com_weight_impact) * act
+        r = task - ref
+        return 0.5 * jnp.sum(w * r * r)

@@ -25,11 +25,13 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..constraints.joint_limits import make_joint_limits
 from ..costs.config_cost import make_config_cost
-from ..costs.task_cost import CoMCost, TaskSpace3DCost
+from ..costs.task_cost import (CoMCost, MultiFrameTaskCost,
+                               TaskSpace3DCost)
 from ..models import com as com_fn
 from ..models import forward_kinematics, frame_placement
 from ..models import robot as rm
@@ -200,7 +202,7 @@ class PeriodicGaitMPC:
                           n_reserved=self.n_reserved, dtype=dtype)
 
         # swing-foot references (reference mpc_periodic_swing_foot_ref.cpp)
-        foot_costs = []
+        foot_refs = []
         K = self.K
         npos = positions.shape[0]
 
@@ -225,18 +227,13 @@ class PeriodicGaitMPC:
                     valid[slot] = 1.0
                     slot += 1
             order = np.argsort(t_start)
-            ref = StepSwingFootRef(
+            foot_refs.append(StepSwingFootRef(
                 x_prev=jnp.asarray(x_prev[order], dtype),
                 x_next=jnp.asarray(x_next[order], dtype),
                 t_start=jnp.asarray(t_start[order], dtype),
                 swing_time=jnp.asarray(durs[order], dtype),
                 step_height=jnp.asarray(self.swing_height, dtype),
-                valid=jnp.asarray(valid[order], dtype))
-            foot_costs.append(TaskSpace3DCost(
-                frame_id=self.contacts.frame_ids[i],
-                weight=self.foot_weight,
-                weight_terminal=self.foot_weight,
-                weight_impact=self.foot_weight, ref=ref))
+                valid=jnp.asarray(valid[order], dtype)))
         # CoM reference (reference mpc_periodic_com_ref.cpp)
         t_start = np.full(K, 1e9)
         com_steps = np.zeros((K + 1, 3))
@@ -252,10 +249,21 @@ class PeriodicGaitMPC:
                              swing_time=jnp.asarray(
                                  self.swing_time + self.flying_time, dtype),
                              valid=jnp.asarray(valid, dtype))
-        com_cost = CoMCost(weight=self.com_weight,
-                           weight_terminal=self.com_weight,
-                           weight_impact=self.com_weight, ref=com_ref)
-        costs = (self.config_cost, *foot_costs, com_cost)
+        # ONE fused multi-frame task cost (feet + CoM share a single FK
+        # chain + jacfwd) instead of nc TaskSpace3DCost + CoMCost — 3x
+        # smaller stage-kernel XLA module, same math
+        stacked_foot_refs = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *foot_refs)
+        task_cost = MultiFrameTaskCost(
+            frame_ids=self.contacts.frame_ids,
+            foot_weight=self.foot_weight,
+            foot_weight_terminal=self.foot_weight,
+            foot_weight_impact=self.foot_weight,
+            com_weight=self.com_weight,
+            com_weight_terminal=self.com_weight,
+            com_weight_impact=self.com_weight,
+            foot_refs=stacked_foot_refs, com_ref=com_ref)
+        costs = (self.config_cost, task_cost)
         return grid, costs
 
     # ------------------------------------------------------------------

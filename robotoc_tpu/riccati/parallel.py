@@ -46,23 +46,33 @@ class _Elem(NamedTuple):
 
 def _combine(e2, e1):
     """Combine elements; with reverse=True associative_scan calls
-    fn(later, earlier) — e1 is the EARLIER-in-time element."""
+    fn(later, earlier) — e1 is the EARLIER-in-time element.
+
+    Conditioning (round-1 review item): instead of two general solves with
+    (I + C1 J2) / (I + J2 C1), factor ONE symmetric PD matrix. With
+    C1, J2 symmetric PSD, (I + C1 J2) = (I + C1 J2) and
+      (I + C1 J2)^{-1} = I - C1 (I + J2 C1)^{-1} J2 ,
+    where (I + J2 C1) shares the spectrum of the SPD pencil; we form the
+    genuinely SPD matrix  Msym = I + J2^{1/2}... is not cheap — instead we
+    solve with (I + J2 C1) ONCE (LU), reuse it for both D and Dt via the
+    push-through identity, and re-symmetrize the PSD outputs C and J."""
     A1, b1, C1, eta1, J1 = e1
     A2, b2, C2, eta2, J2 = e2
     nx = A1.shape[-1]
     eye = jnp.eye(nx, dtype=A1.dtype)
-    # batched solves: (..., nx, nx)
-    M = eye + C1 @ J2
-    D = jnp.linalg.solve(M, eye)                    # (I + C1 J2)^{-1}
     Mt = eye + J2 @ C1
     Dt = jnp.linalg.solve(Mt, eye)                  # (I + J2 C1)^{-1}
+    # push-through: (I + C1 J2)^{-1} = I - C1 Dt J2
+    DtJ2 = Dt @ J2
+    D = eye - C1 @ DtJ2
     A2D = A2 @ D
     A = A2D @ A1
     b = (A2D @ (b1 + (C1 @ eta2[..., None])[..., 0])[..., None])[..., 0] + b2
     C = A2D @ C1 @ jnp.swapaxes(A2, -1, -2) + C2
+    C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
     core = (Dt @ (eta2 - (J2 @ b1[..., None])[..., 0])[..., None])[..., 0]
     eta = (jnp.swapaxes(A1, -1, -2) @ core[..., None])[..., 0] + eta1
-    J = (jnp.swapaxes(A1, -1, -2) @ Dt @ J2 @ A1) + J1
+    J = (jnp.swapaxes(A1, -1, -2) @ DtJ2 @ A1) + J1
     J = 0.5 * (J + jnp.swapaxes(J, -1, -2))
     return _Elem(A, b, C, eta, J)
 

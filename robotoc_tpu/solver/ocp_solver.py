@@ -250,7 +250,7 @@ def _build(model, contacts, limits, barrier, n_imp,
         blocks = jax.tree.map(lambda b, ib: b.at[idx].set(ib),
                               blocks, iblocks)
     sw_fields = dict(Phix=None, Phiu=None, Pc=None, sw=None)
-    sw_lagrangian = jnp.zeros((), sol.q.dtype)
+    sw_aux = dict(lagrangian=jnp.zeros((), sol.q.dtype))
     if n_imp > 0 and enable_sw:
         from ..dynamics import switching_constraint as swc
         nv, nu_dim = model.nv, model.dimu
@@ -310,7 +310,8 @@ def _build(model, contacts, limits, barrier, n_imp,
             Phiu=zu.at[idx_sw].add(Phiu * rowmask[..., None]),
             Pc=zc.at[idx_sw].add(Pc * rowmask),
             sw=zc.at[idx_sw].add(rowmask))
-        sw_lagrangian = jnp.sum(xi_g * P_res)
+        sw_aux = dict(lagrangian=jnp.sum(xi_g * P_res),
+                      idx_sw=idx_sw, Phia=Phia)
     tq = cost_base.quadratize_terminal(costs, model, sol.q[-1],
                                        sol.v[-1], grid.t[-1])
     cN = tq.cost
@@ -325,7 +326,7 @@ def _build(model, contacts, limits, barrier, n_imp,
     dx0 = jnp.concatenate([dq0, v_init - sol.v[0]])
     kkt_sq = (jnp.sum(blocks.kkt_sq) + jnp.sum(lxN**2) + jnp.sum(dx0**2))
     total_cost = jnp.sum(blocks.cost) + cN
-    return data, blocks, dx0, kkt_sq, total_cost, sw_lagrangian
+    return data, blocks, dx0, kkt_sq, total_cost, sw_aux
 
 
 class Directions(NamedTuple):
@@ -467,6 +468,22 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
         dxi = (jnp.einsum("kfx,kx->kf", policy.Mx, dx[:-1])
                + policy.mx) * data.sw
         d = d._replace(dxi=dxi)
+        # correct the (beta, mu) dual expansion at the constrained slots:
+        # the a-row stationarity there is  ga + Phia^T xi_new + M beta
+        # + J^T mu = 0 — the vmapped stage expansion doesn't see the
+        # switching term. By linearity of the contact-space solve, the
+        # correction is one extra ty_solve with rhs (-Phia^T xi_new, 0).
+        aux = built[5]
+        idx_sw, Phia = aux["idx_sw"], aux["Phia"]
+        g = lambda x: jnp.take(x, idx_sw, axis=0)
+        xi_new = g(sol.xi[:-1]) * g(data.sw) + g(dxi)
+        extra_ga = jnp.einsum("kfv,kf->kv", Phia, xi_new)
+        from ..dynamics.contact_dynamics import ty_solve
+        db_c, dm_c = jax.vmap(ty_solve)(
+            g(blocks.inv11), g(blocks.inv12), g(blocks.Sinv),
+            -extra_ga, jnp.zeros_like(xi_new))
+        d = d._replace(dbeta=d.dbeta.at[idx_sw].add(db_c),
+                       dmu=d.dmu.at[idx_sw].add(dm_c))
     (da, df, dbeta, dmu, ds_lim, dz_lim, ds_cone, dz_cone) = (
         d.da, d.df, d.dbeta, d.dmu, d.ds_lim, d.dz_lim, d.ds_cone,
         d.dz_cone)

@@ -58,6 +58,8 @@ class StageBlocks(NamedTuple):
     gy: jnp.ndarray       # (nv+nf,)
     e_lim: jnp.ndarray
     e_cone: jnp.ndarray
+    dgdq: jnp.ndarray     # cone Jacobians (cached for the expansion)
+    dgdf: jnp.ndarray
     # full-space stationarity rows (switching-constraint xi corrections
     # are applied on top of these at the _build level)
     lq_full: jnp.ndarray
@@ -84,19 +86,18 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     rowmask = contacts.force_mask(cmask)            # (nf,)
     cone_mask = contacts.cone_mask(cmask).astype(bool)
 
-    # ---- dynamics residual + derivatives -------------------------------
+    # ---- dynamics + contacts + cone: ONE fused kinematic chain ---------
+    # (inverse dynamics residual, Baumgarte residual, friction-cone values
+    # and all Jacobians from a single forward sweep + one 3nv-tangent
+    # jacfwd; models/contacts.py fused_stage_derivatives)
     f_eff = f * rowmask
-    f_joint = ct.contact_forces_to_joint(model, contacts, f_eff)
     Sact = jnp.zeros((nu_dim, nv), dtype).at[:, nv - nu_dim:].set(
         jnp.eye(nu_dim, dtype=dtype))               # maps full->actuated
-    ID_res = rm.rnea(model, q, v, a, f_joint) - Sact.T @ u
-    dIDdq, dIDdv, M = rm.rnea_derivatives(model, q, v, a, f_joint)
-
-    # ---- contact (Baumgarte) residual + derivatives --------------------
-    C_res = ct.baumgarte_residual(model, contacts, q, v, a, p_ref, R_ref)
-    dCdq, dCdv, J = ct.baumgarte_derivatives(model, contacts, q, v, a,
-                                             p_ref, R_ref)
-    C_res = C_res * rowmask
+    ((tau, C_raw, g_cone, dgdf), (dIDdq, dIDdv, M),
+     (dCdq, dCdv, J), dgdq) = ct.fused_stage_derivatives(
+        model, contacts, q, v, a, f_eff, fric, p_ref, R_ref)
+    ID_res = tau - Sact.T @ u
+    C_res = C_raw * rowmask
     dCdq = dCdq * rowmask[:, None]
     dCdv = dCdv * rowmask[:, None]
     J = J * rowmask[:, None]
@@ -113,9 +114,6 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     Hq_d, Hv_d, Hu_d, Ha_d, gq_cd, gv_cd, gu_cd, ga_cd = jl.condense(
         model, limits, e_lim, s_lim, z_lim, barrier)
     zq, zv, zu, za = jl.dual_residual(model, limits, z_lim)
-
-    g_cone, dgdf, dgdq = fc.residual_and_jac(model, contacts, q, f_eff,
-                                             fric)
     d_cone = pdipm.condensing_diag(s_cone, z_cone, cone_mask)
     r_cone = pdipm.condensing_rhs(g_cone, s_cone, z_cone, barrier, cone_mask)
     zr = jnp.where(cone_mask, z_cone, 0.0) + r_cone
@@ -212,7 +210,7 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     return StageBlocks(A=A, B=B, xres=xres, Qxx=Qxx, Qxu=Qxu, Quu=Quu,
                        lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
                        Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
-                       e_lim=e_lim, e_cone=g_cone,
+                       e_lim=e_lim, e_cone=g_cone, dgdq=dgdq, dgdf=dgdf,
                        lq_full=lq_full, lv_full=lv_full, la_full=la_full,
                        kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
                        prim_feas=prim, dual_feas=dual)
@@ -246,9 +244,8 @@ def expand(model, contacts, limits, barrier, blocks: StageBlocks,
     de_lim = jl.constraint_direction(model, limits, dq, dv, du, da)
     ds_lim, dz_lim = pdipm.expand_slack_dual(
         blocks.e_lim, s_lim, z_lim, barrier, de_lim, limits.mask)
-    _, dgdf, dgdq = fc.residual_and_jac(model, contacts, q,
-                                        f * rowmask, fric)
-    de_cone = dgdq @ dq + dgdf @ (df * rowmask)
+    # cone Jacobians cached from the stage evaluation (one FK chain saved)
+    de_cone = blocks.dgdq @ dq + blocks.dgdf @ (df * rowmask)
     ds_cone, dz_cone = pdipm.expand_slack_dual(
         blocks.e_cone, s_cone, z_cone, barrier, de_cone, cone_mask)
     return (da, df, dbeta, dmu, ds_lim, dz_lim, ds_cone, dz_cone,

@@ -47,17 +47,13 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     rowmask = contacts.force_mask(imp_mask)
     cone_mask = contacts.cone_mask(imp_mask).astype(bool)
 
-    # ---- impulse dynamics ---------------------------------------------
+    # ---- impulse dynamics + impact velocity + cone: fused chain --------
     lam_eff = lam * rowmask
-    f_joint = ct.contact_forces_to_joint(model, contacts, lam_eff)
-    ID_res = rm.rnea_impact(model, q, dv, f_joint)
-    dIDdq, M = rm.rnea_impact_derivatives(model, q, dv, f_joint)
-
-    # ---- impact velocity constraint (post-impact v+dv) ----------------
     vpost = v + dv
-    C_res = ct.impact_velocity_residual(model, contacts, q, vpost)
-    dCdq, J = ct.impact_velocity_derivatives(model, contacts, q, vpost)
-    C_res = C_res * rowmask
+    ((ID_res, C_raw, g_cone, dgdf), (dIDdq, M),
+     (dCdq, J), dgdq) = ct.fused_impact_derivatives(
+        model, contacts, q, dv, v, lam_eff, fric)
+    C_res = C_raw * rowmask
     dCdq = dCdq * rowmask[:, None]
     J = J * rowmask[:, None]          # d/d(dv) = d/dv
 
@@ -72,9 +68,7 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     lf_c = jnp.zeros(nf, dtype)
     Wf = jnp.zeros((nf, nf), dtype)
 
-    # ---- impact friction cone on Lambda -------------------------------
-    g_cone, dgdf, dgdq = fc.residual_and_jac(model, contacts, q, lam_eff,
-                                             fric)
+    # ---- impact friction cone on Lambda (values from the fused chain) --
     d_cone = pdipm.condensing_diag(s_cone, z_cone, cone_mask)
     r_cone = pdipm.condensing_rhs(g_cone, s_cone, z_cone, barrier, cone_mask)
     zr = jnp.where(cone_mask, z_cone, 0.0) + r_cone
@@ -158,7 +152,8 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     return StageBlocks(A=A, B=B, xres=xres, Qxx=Qxx, Qxu=Qxu, Quu=Quu,
                        lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
                        Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
-                       e_lim=e_lim_dummy, e_cone=g_cone,
+                       e_lim=e_lim_dummy, e_cone=g_cone, dgdq=dgdq,
+                       dgdf=dgdf,
                        lq_full=lq_full, lv_full=lv_full, la_full=ldv_full,
                        kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
                        prim_feas=prim, dual_feas=dual)
@@ -183,9 +178,7 @@ def expand(model, contacts, barrier, blocks: StageBlocks,
                                 -ga, rhs2)
     dbeta = beta_new - beta
     dmu = mu_new - mu
-    _, dgdf, dgdq = fc.residual_and_jac(model, contacts, q,
-                                        lam * rowmask, fric)
-    de_cone = dgdq @ dq + dgdf @ (dlam * rowmask)
+    de_cone = blocks.dgdq @ dq + blocks.dgdf @ (dlam * rowmask)
     ds_cone, dz_cone = pdipm.expand_slack_dual(
         blocks.e_cone, s_cone, z_cone, barrier, de_cone, cone_mask)
     return ddv, dlam, dbeta, dmu, ds_cone, dz_cone

@@ -324,7 +324,11 @@ def _build(model, contacts, limits, barrier, n_imp,
                    **sw_fields)
     dq0 = rm.difference(model, sol.q[0], q_init)
     dx0 = jnp.concatenate([dq0, v_init - sol.v[0]])
-    kkt_sq = (jnp.sum(blocks.kkt_sq) + jnp.sum(lxN**2) + jnp.sum(dx0**2))
+    # clamp: the switching-constraint KKT delta is a difference of squared
+    # norms and can push the near-zero total slightly negative in floating
+    # point (sqrt would NaN exactly at convergence)
+    kkt_sq = jnp.maximum(
+        jnp.sum(blocks.kkt_sq) + jnp.sum(lxN**2) + jnp.sum(dx0**2), 0.0)
     total_cost = jnp.sum(blocks.cost) + cN
     return data, blocks, dx0, kkt_sq, total_cost, sw_aux
 
@@ -459,6 +463,13 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
     dx, du, dlmd_all, policy = riccati.solve(data, dx0)
     d = _expand_directions(model, contacts, limits, barrier, n_imp,
                            blocks, sol, grid, dx, du, dlmd_all)
+    # numerical-failure guard: a non-finite direction (failed Cholesky in
+    # the Riccati or the contact-space solve) zeroes the step instead of
+    # poisoning the iterate (reference asserts LLT success,
+    # riccati_factorizer.cpp:50,64)
+    dir_ok = jnp.isfinite(jnp.asarray(
+        [jnp.sum(x) for x in jax.tree.leaves(d)
+         if x.dtype.kind == "f"])).all()
     if policy.Mx is not None:
         # switching multiplier DIRECTION: because the condensed gradients
         # lx/lu already carry Phix^T xi_old / Phiu^T xi_old (built in
@@ -489,7 +500,13 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
         d.dz_cone)
     du = d.du
     dlmd, dgmm = d.dlmd, d.dgmm
+    # zero the whole direction on failure (0 * NaN would still be NaN)
+    d = jax.tree.map(
+        lambda x: jnp.where(dir_ok, x, jnp.zeros_like(x))
+        if x.dtype.kind == "f" else x, d)
     a_p, a_d = _step_sizes(limits, ftb, sol, d)
+    a_p = jnp.where(dir_ok, a_p, 0.0)
+    a_d = jnp.where(dir_ok, a_d, 0.0)
     dq_all, dv_all = d.dq_all, d.dv_all
     pad0_ls = _pad0
     if enable_ls is True or enable_ls == "merit":
@@ -554,7 +571,10 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
 
         def cond(state):
             scale, k_trial, it = state
-            return (k_trial >= kkt_sq) & (it < 8)
+            # NaN-robust: keep backtracking unless the trial STRICTLY
+            # improves (NaN comparisons are false, so a NaN trial would
+            # otherwise be accepted)
+            return ~(k_trial < kkt_sq) & (it < 8)
 
         def body(state):
             scale, _, it = state

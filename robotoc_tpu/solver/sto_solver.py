@@ -128,11 +128,14 @@ class OCPSolverSTO:
         for it in range(o.max_iter):
             reg = o.initial_sto_reg if inner < o.initial_sto_reg_iter \
                 else 0.0
-            sol, ts, st, _, alpha = self._upd(
+            # ONE build per iteration: the update returns the KKT error of
+            # its INPUT iterate (same single-build pattern as the Riccati
+            # solve loop); convergence triggers one step late, which only
+            # tightens the returned solution.
+            sol, ts, st, kkt_in, alpha = self._upd(
                 self.costs, self.sto_costs, sol, ts, st, q_init, v_init,
                 jnp.asarray(reg, dtype))
-            kkt = float(self._kkt(self.costs, self.sto_costs, sol, ts, st,
-                                  q_init, v_init))
+            kkt = float(kkt_in)
             stats["ts_history"].append(np.asarray(ts))
             stats["iterations"] = it + 1
             stats["kkt_error"] = kkt
@@ -161,6 +164,13 @@ class OCPSolverSTO:
                 stats["convergence"] = True
                 break
             inner += 1
+        # report the FINAL iterate's KKT error (the loop measure is the
+        # input-iterate one from the single-build update)
+        kkt_final = float(self._kkt(self.costs, self.sto_costs, sol, ts,
+                                    st, q_init, v_init))
+        stats["kkt_error"] = kkt_final
+        if kkt_final < o.kkt_tol:
+            stats["convergence"] = True
         return sol, ts, stats
 
 

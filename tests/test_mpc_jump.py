@@ -12,11 +12,11 @@ Q0 = jnp.array([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
 
 def test_mpc_jump_init_and_updates():
     m = load_robot("anymal")
-    mpc = MPCJump(m, T=0.8, N=8)
+    mpc = MPCJump(m, T=0.85, N=10)
     mpc.set_jump_pattern(jump_length=[0.1, 0.0, 0.0], jump_yaw=0.0,
                          flying_time=0.25, ground_time=0.3)
     v0 = jnp.zeros(18)
-    kkt0 = mpc.init(0.0, Q0, v0, num_iters=25)
+    kkt0 = mpc.init(0.0, Q0, v0, num_iters=60)
     assert np.isfinite(kkt0) and kkt0 < 1e-2, f"init kkt={kkt0}"
     # landing targets moved 10 cm forward
     np.testing.assert_allclose(mpc._p_land[:, 0] - mpc._p_stance[:, 0],

@@ -278,131 +278,212 @@ def contact_position_derivative(model, contacts, q, p_ref):
         model, contacts, rm.integrate(model, q, e), p_ref))(z)
 
 
+
 # ---------------------------------------------------------------------------
 # Fused stage kernel: ONE kinematic chain for inverse dynamics + Baumgarte
 # contacts + friction-cone rotations (compile-size + runtime optimization:
 # the separate rnea / baumgarte / cone evaluations each re-ran the joint
 # chain; the reference gets the same sharing from Pinocchio's Data cache,
-# robot.hpp:218 updateKinematics)
+# robot.hpp:218 updateKinematics). The chain is LEVEL-BATCHED: same-type
+# joints at the same tree depth (a quadruped's 4 identical legs) evaluate
+# as one batched tensor op per level — the op COUNT, not the FLOPs, bounds
+# small-kinematics throughput on TPU (robot.py chain_levels).
 # ---------------------------------------------------------------------------
 
+def _joint_stack(model, idxs, name):
+    import numpy as _np
+    return _np.asarray([getattr(model, name)[i] for i in idxs])
+
+
 def _fused_forward(model, q, v, a, gravity_on):
-    """Single forward sweep: per-joint placements, world poses, local
-    velocities, KINEMATIC accelerations, and the separately-propagated
-    gravity offset (linearity of the motion transform lets RNEA use
-    a_total = a_kin + g_prop while Baumgarte uses a_kin)."""
-    placements, Rs, ps, vs, as_kin, gprop = [], [], [], [], [], []
+    """Single level-batched forward sweep. Returns per-joint arrays
+    (PL_R (nj,3,3), PL_p (nj,3), RS, PS, VS (nj,6), AS_kin, GP): joint
+    placements, world poses, local velocities, KINEMATIC accelerations and
+    the separately-propagated gravity offset (linearity of the motion
+    transform lets RNEA use a_total = a_kin + g_prop while Baumgarte uses
+    a_kin)."""
+    import numpy as _np
+    nj = model.nj
+    dt = q.dtype
     if gravity_on:
-        a0 = jnp.concatenate([-model.gravity,
-                              jnp.zeros(3, model.dtype)])
+        a0 = jnp.concatenate([-model.gravity, jnp.zeros(3, dt)])
     else:
-        a0 = jnp.zeros(6, model.dtype)
-    for i in range(model.nj):
-        Rl, pl = rm._joint_placement(model, i, q)
-        par = model.parents[i]
-        vJ = rm._joint_motion(model, i, v)
-        aJ = rm._joint_motion(model, i, a)
-        if par < 0:
+        a0 = jnp.zeros(6, dt)
+    PL_R = jnp.zeros((nj, 3, 3), dt)
+    PL_p = jnp.zeros((nj, 3), dt)
+    RS = jnp.zeros((nj, 3, 3), dt)
+    PS = jnp.zeros((nj, 3), dt)
+    VS = jnp.zeros((nj, 6), dt)
+    AS = jnp.zeros((nj, 6), dt)
+    GP = jnp.zeros((nj, 6), dt)
+    for jt, idxs in rm.chain_levels(model):
+        idx = _np.asarray(idxs)
+        par = _np.asarray([model.parents[i] for i in idxs])
+        k = len(idxs)
+        if jt == rm.FREE:
+            qo = model.q_offs[idxs[0]]
+            vo = model.v_offs[idxs[0]]
+            Rq = lie.quat_to_rot(q[qo + 3:qo + 7])
+            Rl = (model.Xtree_R[idx[0]] @ Rq)[None]
+            pl = ((model.Xtree_R[idx[0]] @ q[qo:qo + 3])
+                  + model.Xtree_p[idx[0]])[None]
+            vJ = v[vo:vo + 6][None]
+            aJ = a[vo:vo + 6][None]
+        else:
+            qoffs = _np.asarray([model.q_offs[i] for i in idxs])
+            voffs = _np.asarray([model.v_offs[i] for i in idxs])
+            qi = q[qoffs]                              # (k,)
+            ax = model.axis[idx]                       # (k, 3)
+            zk = jnp.zeros((k, 3), dt)
+            if jt == rm.REVOLUTE:
+                Rj = lie.so3_exp(qi[:, None] * ax)
+                Rl = model.Xtree_R[idx] @ Rj
+                pl = jnp.broadcast_to(model.Xtree_p[idx], (k, 3))
+                vJ = jnp.concatenate([zk, v[voffs][:, None] * ax], axis=-1)
+                aJ = jnp.concatenate([zk, a[voffs][:, None] * ax], axis=-1)
+            else:                                       # PRISMATIC
+                Rl = jnp.broadcast_to(model.Xtree_R[idx], (k, 3, 3))
+                pl = model.Xtree_p[idx] + qi[:, None] * ax
+                vJ = jnp.concatenate([v[voffs][:, None] * ax, zk], axis=-1)
+                aJ = jnp.concatenate([a[voffs][:, None] * ax, zk], axis=-1)
+        if par[0] < 0:                                  # root level
             vi = vJ
             ai = aJ + motion_cross(vi, vJ)
-            gi = motion_transform_inv(Rl, pl, jnp.broadcast_to(a0, vJ.shape))
+            gi = motion_transform_inv(Rl, pl, jnp.broadcast_to(a0, (k, 6)))
             Rw, pw = Rl, pl
         else:
-            vi = motion_transform_inv(Rl, pl, vs[par]) + vJ
-            ai = (motion_transform_inv(Rl, pl, as_kin[par]) + aJ
+            vi = motion_transform_inv(Rl, pl, VS[par]) + vJ
+            ai = (motion_transform_inv(Rl, pl, AS[par]) + aJ
                   + motion_cross(vi, vJ))
-            gi = motion_transform_inv(Rl, pl, gprop[par])
-            Rw = Rs[par] @ Rl
-            pw = (Rs[par] @ pl[..., None])[..., 0] + ps[par]
-        placements.append((Rl, pl))
-        Rs.append(Rw)
-        ps.append(pw)
-        vs.append(vi)
-        as_kin.append(ai)
-        gprop.append(gi)
-    return placements, Rs, ps, vs, as_kin, gprop
+            gi = motion_transform_inv(Rl, pl, GP[par])
+            Rw = RS[par] @ Rl
+            pw = (RS[par] @ pl[..., None])[..., 0] + PS[par]
+        PL_R = PL_R.at[idx].set(Rl)
+        PL_p = PL_p.at[idx].set(pl)
+        RS = RS.at[idx].set(Rw)
+        PS = PS.at[idx].set(pw)
+        VS = VS.at[idx].set(vi)
+        AS = AS.at[idx].set(ai)
+        GP = GP.at[idx].set(gi)
+    return PL_R, PL_p, RS, PS, VS, AS, GP
+
+
+def _rnea_backward(model, PL_R, PL_p, VS, A_tot, f_joint):
+    """Level-batched RNEA backward pass: per-joint net forces from the
+    TOTAL accelerations, child-to-parent accumulation, torque projection."""
+    import numpy as _np
+    nj = model.nj
+    dt = VS.dtype
+    FS = (inertia_apply(model.mass, model.com, model.inertia, A_tot)
+          + force_cross(VS, inertia_apply(model.mass, model.com,
+                                          model.inertia, VS)))
+    if f_joint is not None:
+        FS = FS - f_joint
+    tau = jnp.zeros(model.nv, dt)
+    for jt, idxs in reversed(rm.chain_levels(model)):
+        idx = _np.asarray(idxs)
+        par = _np.asarray([model.parents[i] for i in idxs])
+        if jt == rm.FREE:
+            vo = model.v_offs[idxs[0]]
+            tau = tau.at[vo:vo + 6].set(FS[idx[0]])
+        else:
+            voffs = _np.asarray([model.v_offs[i] for i in idxs])
+            ax = model.axis[idx]
+            if jt == rm.REVOLUTE:
+                tau = tau.at[voffs].set(
+                    jnp.sum(FS[idx][:, 3:] * ax, axis=-1))
+            else:
+                tau = tau.at[voffs].set(
+                    jnp.sum(FS[idx][:, :3] * ax, axis=-1))
+        if par[0] >= 0:
+            FS = FS.at[par].add(
+                force_transform(PL_R[idx], PL_p[idx], FS[idx]))
+    return tau
+
+
+def _contact_groups(contacts):
+    """Static per-type contact groups with gather index tables."""
+    import numpy as _np
+    groups = []
+    offs = contacts.f_offsets
+    cone_offs = []
+    r0 = 0
+    for d in contacts.cone_dims:
+        cone_offs.append(r0)
+        r0 += d
+    for typ in (POINT, SURFACE):
+        cs = [c for c in range(contacts.n_contacts)
+              if contacts.types[c] == typ]
+        if cs:
+            groups.append(dict(
+                typ=typ, cs=_np.asarray(cs),
+                fids=_np.asarray([contacts.frame_ids[c] for c in cs]),
+                f_idx=_np.asarray([[offs[c] + j for j in range(typ)]
+                                   for c in cs]),
+                cone_idx=_np.asarray(
+                    [[cone_offs[c] + j
+                      for j in range(contacts.cone_dims[c])]
+                     for c in cs])))
+    return groups
 
 
 def fused_stage_outputs(model, contacts: ContactModel, q, v, a, f_eff,
                         fric, p_ref, R_ref=None, gravity_on=True):
-    """(tau, C, g_cone) from one shared chain.
+    """(tau, C, g_cone, dgdf) from one shared level-batched chain.
 
     tau: inverse-dynamics torques RNEA(q,v,a) - J^T f  (nv,)
     C:   stacked Baumgarte residuals (max_dimf,)  [unmasked]
     g:   stacked cone residuals (dimc_cone,)
+    dgdf: (dimc_cone, max_dimf) cone force Jacobian (values; block diag).
     """
+    import numpy as _np
     from ..constraints import friction_cone as fcone
-    from ..ops import lie as _lie
+    dt = q.dtype
     f_joint = contact_forces_to_joint(model, contacts, f_eff)
-    placements, Rs, ps, vs, as_kin, gprop = _fused_forward(
-        model, q, v, a, gravity_on)
-    # --- RNEA backward pass (total accelerations) -----------------------
-    nj = model.nj
-    fs = []
-    for i in range(nj):
-        m_, c_, I_ = model.mass[i], model.com[i], model.inertia[i]
-        ai_tot = as_kin[i] + gprop[i]
-        fi = inertia_apply(m_, c_, I_, ai_tot) + force_cross(
-            vs[i], inertia_apply(m_, c_, I_, vs[i]))
-        fi = fi - f_joint[..., i, :]
-        fs.append(fi)
-    tau_parts = [None] * nj
-    for i in reversed(range(nj)):
-        jt = model.jtypes[i]
-        if jt == rm.FREE:
-            tau_parts[i] = fs[i]
-        elif jt == rm.REVOLUTE:
-            tau_parts[i] = jnp.sum(fs[i][..., 3:] * model.axis[i], axis=-1,
-                                   keepdims=True)
+    PL_R, PL_p, RS, PS, VS, AS, GP = _fused_forward(model, q, v, a,
+                                                    gravity_on)
+    tau = _rnea_backward(model, PL_R, PL_p, VS, AS + GP, f_joint)
+    # --- contact frames, batched per contact type -----------------------
+    C = jnp.zeros(contacts.max_dimf, dt)
+    g = jnp.zeros(contacts.dimc_cone, dt)
+    dgdf = jnp.zeros((contacts.dimc_cone, contacts.max_dimf), dt)
+    for gr in _contact_groups(contacts):
+        cs, fids = gr["cs"], gr["fids"]
+        pars = _np.asarray([model.frame_parents[f] for f in fids])
+        fR = model.frame_R[fids]
+        fp = model.frame_p[fids]
+        vf = motion_transform_inv(fR, fp, VS[pars])
+        af = motion_transform_inv(fR, fp, AS[pars])
+        Rw = RS[pars] @ fR
+        pw = (RS[pars] @ fp[..., None])[..., 0] + PS[pars]
+        kv = contacts.kv[cs][:, None]
+        kp = contacts.kp[cs][:, None]
+        if gr["typ"] == POINT:
+            a_cl = af[:, :3] + jnp.cross(vf[:, 3:], vf[:, :3])
+            res = a_cl + kv * vf[:, :3] + kp * (pw - p_ref[cs])
+            fl = f_eff[gr["f_idx"]]                      # (k, 3)
+            Cm = jax.vmap(lambda fc_: fcone.cone_matrix(fc_, dt))(fric[cs])
+            fW = (Rw @ fl[..., None])[..., 0]
+            gv = (Cm @ fW[..., None])[..., 0]            # (k, 5)
+            dg = Cm @ Rw                                  # (k, 5, 3)
         else:
-            tau_parts[i] = jnp.sum(fs[i][..., :3] * model.axis[i], axis=-1,
-                                   keepdims=True)
-        par = model.parents[i]
-        if par >= 0:
-            Rl, pl = placements[i]
-            fs[par] = fs[par] + force_transform(Rl, pl, fs[i])
-    tau = jnp.concatenate(tau_parts, axis=-1)
-    # --- contact-frame states (shared chain) ----------------------------
-    C_rows, g_rows, dgdf_blocks = [], [], []
-    offs = contacts.f_offsets
-    for c in range(contacts.n_contacts):
-        fid = contacts.frame_ids[c]
-        par = model.frame_parents[fid]
-        fR, fp = model.frame_R[fid], model.frame_p[fid]
-        vf = motion_transform_inv(fR, fp, vs[par])
-        af = motion_transform_inv(fR, fp, as_kin[par])
-        Rw = Rs[par] @ fR
-        pw = (Rs[par] @ fp[..., None])[..., 0] + ps[par]
-        if contacts.types[c] == POINT:
-            a_cl = af[..., :3] + jnp.cross(vf[..., 3:], vf[..., :3])
-            C_rows.append(a_cl + contacts.kv[c] * vf[..., :3]
-                          + contacts.kp[c] * (pw - p_ref[..., c, :]))
-            fl = f_eff[offs[c]:offs[c] + 3]
-            Cm = fcone.cone_matrix(fric[c], q.dtype)
-            g_rows.append(Cm @ (Rw @ fl))
-            dgdf_blocks.append(Cm @ Rw)
-        else:
-            Rr = (jnp.eye(3, dtype=q.dtype) if R_ref is None
-                  else R_ref[..., c, :, :])
-            pr = p_ref[..., c, :]
+            Rr = (jnp.broadcast_to(jnp.eye(3, dtype=dt), Rw.shape)
+                  if R_ref is None else R_ref[cs])
             R_rel = jnp.swapaxes(Rr, -1, -2) @ Rw
-            p_rel = (jnp.swapaxes(Rr, -1, -2) @ (pw - pr)[..., None])[..., 0]
-            err6 = _lie.se3_log(R_rel, p_rel)
-            C_rows.append(af + contacts.kv[c] * vf
-                          + contacts.kp[c] * err6)
-            wl = f_eff[offs[c]:offs[c] + 6]
-            W = fcone.wrench_cone_matrix(fric[c], contacts.rect[c, 0],
-                                         contacts.rect[c, 1], q.dtype)
-            g_rows.append(W @ wl)
-            dgdf_blocks.append(W)
-    C = jnp.concatenate(C_rows, axis=-1)
-    g = jnp.concatenate(g_rows, axis=-1)
-    dgdf = jnp.zeros((contacts.dimc_cone, contacts.max_dimf), q.dtype)
-    r0 = 0
-    for c, blk in enumerate(dgdf_blocks):
-        nr, ncol = blk.shape
-        dgdf = dgdf.at[r0:r0 + nr, offs[c]:offs[c] + ncol].set(blk)
-        r0 += nr
+            p_rel = (jnp.swapaxes(Rr, -1, -2)
+                     @ (pw - p_ref[cs])[..., None])[..., 0]
+            err6 = lie.se3_log(R_rel, p_rel)
+            res = af + kv * vf + kp * err6
+            wl = f_eff[gr["f_idx"]]                      # (k, 6)
+            W = jax.vmap(lambda mu, xy: fcone.wrench_cone_matrix(
+                mu, xy[0], xy[1], dt))(fric[cs], contacts.rect[cs])
+            gv = (W @ wl[..., None])[..., 0]
+            dg = W
+        C = C.at[gr["f_idx"].reshape(-1)].set(res.reshape(-1))
+        g = g.at[gr["cone_idx"].reshape(-1)].set(gv.reshape(-1))
+        ci = gr["cone_idx"][..., :, None]                # (k, rows, 1)
+        fi = gr["f_idx"][..., None, :]                   # (k, 1, cols)
+        dgdf = dgdf.at[ci, fi].set(dg)
     return tau, C, g, dgdf
 
 
@@ -410,7 +491,7 @@ def fused_stage_derivatives(model, contacts, q, v, a, f_eff, fric,
                             p_ref, R_ref=None, gravity_on=True):
     """Values + Jacobians of (tau, C, g) with ONE fused 3nv-tangent jacfwd
     of the shared chain. Returns
-      (tau, C, g), (dtau_dq, dtau_dv, M), (dCdq, dCdv, Jc), dgdq."""
+      ((tau, C, g, dgdf), (dtau_dq, dtau_dv, M), (dCdq, dCdv, Jc), dgdq)."""
     nv = model.nv
     nf = contacts.max_dimf
     tau, C, g, dgdf = fused_stage_outputs(model, contacts, q, v, a, f_eff,
@@ -432,88 +513,85 @@ def fused_stage_derivatives(model, contacts, q, v, a, f_eff, fric,
             Jg[:, :nv])
 
 
+def _velocity_forward(model, PL_R, PL_p, vpost):
+    """Level-batched velocity-only propagation through FIXED placements."""
+    import numpy as _np
+    nj = model.nj
+    VP = jnp.zeros((nj, 6), vpost.dtype)
+    for jt, idxs in rm.chain_levels(model):
+        idx = _np.asarray(idxs)
+        par = _np.asarray([model.parents[i] for i in idxs])
+        k = len(idxs)
+        if jt == rm.FREE:
+            vo = model.v_offs[idxs[0]]
+            vJ = vpost[vo:vo + 6][None]
+        else:
+            voffs = _np.asarray([model.v_offs[i] for i in idxs])
+            ax = model.axis[idx]
+            zk = jnp.zeros((k, 3), vpost.dtype)
+            if jt == rm.REVOLUTE:
+                vJ = jnp.concatenate([zk, vpost[voffs][:, None] * ax],
+                                     axis=-1)
+            else:
+                vJ = jnp.concatenate([vpost[voffs][:, None] * ax, zk],
+                                     axis=-1)
+        if par[0] < 0:
+            vi = vJ
+        else:
+            vi = motion_transform_inv(PL_R[idx], PL_p[idx], VP[par]) + vJ
+        VP = VP.at[idx].set(vi)
+    return VP
+
+
 def fused_impact_outputs(model, contacts: ContactModel, q, dv, vpost,
                          lam_eff, fric):
-    """(tau_imp, Cvel, g_cone) for the impact stage from one shared chain:
-    impulse dynamics RNEAImpact(q, dv) - J^T Lambda, post-impact contact
-    velocity at (q, vpost), impact cone on Lambda."""
+    """(tau_imp, Cvel, g_cone, dgdf) for the impact stage from one shared
+    chain: impulse dynamics RNEAImpact(q, dv) - J^T Lambda, post-impact
+    contact velocity at (q, vpost), impact cone on Lambda."""
+    import numpy as _np
     from ..constraints import friction_cone as fcone
+    dt = q.dtype
     f_joint = contact_forces_to_joint(model, contacts, lam_eff)
-    # chain at (q, dv) with zero velocity, gravity-free = impulse dynamics;
-    # but the contact VELOCITY residual needs vpost — run the cheap
-    # velocity propagation for vpost alongside (no accelerations).
-    placements, Rs, ps, vs0, as_kin, _ = _fused_forward(
+    PL_R, PL_p, RS, PS, VS0, AS, _ = _fused_forward(
         model, q, jnp.zeros_like(dv), dv, gravity_on=False)
-    nj = model.nj
-    fs = []
-    for i in range(nj):
-        m_, c_, I_ = model.mass[i], model.com[i], model.inertia[i]
-        fi = inertia_apply(m_, c_, I_, as_kin[i]) + force_cross(
-            vs0[i], inertia_apply(m_, c_, I_, vs0[i]))
-        fi = fi - f_joint[..., i, :]
-        fs.append(fi)
-    tau_parts = [None] * nj
-    for i in reversed(range(nj)):
-        jt = model.jtypes[i]
-        if jt == rm.FREE:
-            tau_parts[i] = fs[i]
-        elif jt == rm.REVOLUTE:
-            tau_parts[i] = jnp.sum(fs[i][..., 3:] * model.axis[i], axis=-1,
-                                   keepdims=True)
+    tau = _rnea_backward(model, PL_R, PL_p, VS0, AS, f_joint)
+    VP = _velocity_forward(model, PL_R, PL_p, vpost)
+    C = jnp.zeros(contacts.max_dimf, dt)
+    g = jnp.zeros(contacts.dimc_cone, dt)
+    dgdf = jnp.zeros((contacts.dimc_cone, contacts.max_dimf), dt)
+    for gr in _contact_groups(contacts):
+        cs, fids = gr["cs"], gr["fids"]
+        pars = _np.asarray([model.frame_parents[f] for f in fids])
+        fR = model.frame_R[fids]
+        fp = model.frame_p[fids]
+        vf = motion_transform_inv(fR, fp, VP[pars])
+        Rw = RS[pars] @ fR
+        if gr["typ"] == POINT:
+            res = vf[:, :3]
+            fl = lam_eff[gr["f_idx"]]
+            Cm = jax.vmap(lambda fc_: fcone.cone_matrix(fc_, dt))(fric[cs])
+            gv = (Cm @ (Rw @ fl[..., None]))[..., 0]
+            dg = Cm @ Rw
         else:
-            tau_parts[i] = jnp.sum(fs[i][..., :3] * model.axis[i], axis=-1,
-                                   keepdims=True)
-        par = model.parents[i]
-        if par >= 0:
-            Rl, pl = placements[i]
-            fs[par] = fs[par] + force_transform(Rl, pl, fs[i])
-    tau = jnp.concatenate(tau_parts, axis=-1)
-    # post-impact velocities through the same placements
-    vps = []
-    for i in range(nj):
-        Rl, pl = placements[i]
-        par = model.parents[i]
-        vJ = rm._joint_motion(model, i, vpost)
-        if par < 0:
-            vps.append(vJ)
-        else:
-            vps.append(motion_transform_inv(Rl, pl, vps[par]) + vJ)
-    C_rows, g_rows, dgdf_blocks = [], [], []
-    offs = contacts.f_offsets
-    for c in range(contacts.n_contacts):
-        fid = contacts.frame_ids[c]
-        par = model.frame_parents[fid]
-        fR, fp = model.frame_R[fid], model.frame_p[fid]
-        vf = motion_transform_inv(fR, fp, vps[par])
-        Rw = Rs[par] @ fR
-        if contacts.types[c] == POINT:
-            C_rows.append(vf[..., :3])
-            fl = lam_eff[offs[c]:offs[c] + 3]
-            Cm = fcone.cone_matrix(fric[c], q.dtype)
-            g_rows.append(Cm @ (Rw @ fl))
-            dgdf_blocks.append(Cm @ Rw)
-        else:
-            C_rows.append(vf)
-            wl = lam_eff[offs[c]:offs[c] + 6]
-            W = fcone.wrench_cone_matrix(fric[c], contacts.rect[c, 0],
-                                         contacts.rect[c, 1], q.dtype)
-            g_rows.append(W @ wl)
-            dgdf_blocks.append(W)
-    dgdf = jnp.zeros((contacts.dimc_cone, contacts.max_dimf), q.dtype)
-    r0 = 0
-    for c, blk in enumerate(dgdf_blocks):
-        nr, ncol = blk.shape
-        dgdf = dgdf.at[r0:r0 + nr, offs[c]:offs[c] + ncol].set(blk)
-        r0 += nr
-    return tau, jnp.concatenate(C_rows, axis=-1), \
-        jnp.concatenate(g_rows, axis=-1), dgdf
+            res = vf
+            wl = lam_eff[gr["f_idx"]]
+            W = jax.vmap(lambda mu, xy: fcone.wrench_cone_matrix(
+                mu, xy[0], xy[1], dt))(fric[cs], contacts.rect[cs])
+            gv = (W @ wl[..., None])[..., 0]
+            dg = W
+        C = C.at[gr["f_idx"].reshape(-1)].set(res.reshape(-1))
+        g = g.at[gr["cone_idx"].reshape(-1)].set(gv.reshape(-1))
+        ci = gr["cone_idx"][..., :, None]
+        fi = gr["f_idx"][..., None, :]
+        dgdf = dgdf.at[ci, fi].set(dg)
+    return tau, C, g, dgdf
 
 
 def fused_impact_derivatives(model, contacts, q, dv, v, lam_eff, fric):
     """Values + Jacobians for the impact stage with one fused jacfwd over
     (dq, ddv) — the post-impact velocity residual's v-dependence equals its
     dv-dependence (vpost = v + dv), so dC/dv rides the ddv tangents.
-    Returns (tau, C, g), (dtau_dq, Mi), (dCdq, Jc), dgdq."""
+    Returns ((tau, C, g, dgdf), (dtau_dq, Mi), (dCdq, Jc), dgdq)."""
     nv = model.nv
     nf = contacts.max_dimf
     tau, C, g, dgdf = fused_impact_outputs(model, contacts, q, dv, v + dv,

@@ -255,18 +255,47 @@ def _joint_placement(model: RobotModel, i: int, q):
 
 
 def forward_kinematics(model: RobotModel, q):
-    """World placements of all joint frames: (R_w (..., nj, 3, 3), p_w)."""
-    Rs, ps = [], []
-    for i in range(model.nj):
-        Rl, pl = _joint_placement(model, i, q)
-        par = model.parents[i]
-        if par < 0:
-            Rs.append(Rl)
-            ps.append(pl)
+    """World placements of all joint frames: (R_w (..., nj, 3, 3), p_w).
+
+    Level-batched: same-type joints at the same tree depth evaluate as one
+    batched op (chain_levels) — op count scales with tree DEPTH, not joint
+    count."""
+    nj = model.nj
+    batch = q.shape[:-1]
+    RS = jnp.zeros(batch + (nj, 3, 3), q.dtype)
+    PS = jnp.zeros(batch + (nj, 3), q.dtype)
+    for jt, idxs in chain_levels(model):
+        idx = np.asarray(idxs)
+        par = np.asarray([model.parents[i] for i in idxs])
+        k = len(idxs)
+        if jt == FREE:
+            qo = model.q_offs[idxs[0]]
+            Rq = lie.quat_to_rot(q[..., qo + 3:qo + 7])
+            Rl = (model.Xtree_R[idx[0]] @ Rq)[..., None, :, :]
+            pl = ((model.Xtree_R[idx[0]] @ q[..., qo:qo + 3, None])[..., 0]
+                  + model.Xtree_p[idx[0]])[..., None, :]
         else:
-            Rs.append(Rs[par] @ Rl)
-            ps.append((Rs[par] @ pl[..., None])[..., 0] + ps[par])
-    return jnp.stack(Rs, axis=-3), jnp.stack(ps, axis=-2)
+            qoffs = np.asarray([model.q_offs[i] for i in idxs])
+            qi = q[..., qoffs]
+            ax = model.axis[idx]
+            if jt == REVOLUTE:
+                Rj = lie.so3_exp(qi[..., None] * ax)
+                Rl = model.Xtree_R[idx] @ Rj
+                pl = jnp.broadcast_to(model.Xtree_p[idx],
+                                      batch + (k, 3))
+            else:
+                Rl = jnp.broadcast_to(model.Xtree_R[idx],
+                                      batch + (k, 3, 3))
+                pl = model.Xtree_p[idx] + qi[..., None] * ax
+        if par[0] < 0:
+            Rw, pw = Rl, pl
+        else:
+            Rw = RS[..., par, :, :] @ Rl
+            pw = (RS[..., par, :, :] @ pl[..., None])[..., 0] \
+                + PS[..., par, :]
+        RS = RS.at[..., idx, :, :].set(Rw)
+        PS = PS.at[..., idx, :].set(pw)
+    return RS, PS
 
 
 def frame_placement(model: RobotModel, fid: int, R_w, p_w):
@@ -496,3 +525,27 @@ def rnea_impact_derivatives(model: RobotModel, q, dv, f_joint=None):
 
     J = jax.jacfwd(f_all)(z)
     return J[:, :nv], J[:, nv:]
+
+
+# ---------------------------------------------------------------------------
+# Level-batched chain structure (TPU op-count optimization)
+# ---------------------------------------------------------------------------
+
+def chain_levels(model: RobotModel):
+    """Static level decomposition of the joint tree: joints of the SAME
+    type at the SAME depth batch into one set of tensor ops (a quadruped's
+    4 identical legs evaluate as one (4, ...) batched op per depth level
+    instead of 12 scalar chains — the op-COUNT, not FLOP, is what bounds
+    small-kinematics throughput on TPU).
+
+    Returns a tuple of (jtype, joint_indices tuple) in depth order.
+    """
+    depth = []
+    for i in range(model.nj):
+        p = model.parents[i]
+        depth.append(0 if p < 0 else depth[p] + 1)
+    buckets = {}
+    for i in range(model.nj):
+        buckets.setdefault((depth[i], model.jtypes[i]), []).append(i)
+    return tuple((jt, tuple(idxs))
+                 for (d, jt), idxs in sorted(buckets.items()))

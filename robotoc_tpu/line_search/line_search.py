@@ -84,18 +84,27 @@ def empty_filter(dtype=jnp.float64):
 
 
 def filter_accepts(filt, cost, viol, cost_rate=0.005, viol_rate=0.005):
-    """(cost, viol) is acceptable if, against EVERY filter entry, it
-    improves the cost or the violation by the entry's margin
-    (reference line_search.cpp:58-84, filter rates 0.005)."""
-    ok = ((cost <= filt[:, 0] - cost_rate * filt[:, 1])
-          | (viol <= filt[:, 1] - viol_rate * filt[:, 1]))
-    return jnp.all(ok)
+    """(cost, viol) is acceptable if ANY filter entry's condition holds —
+    improve that entry's cost by its margin OR improve its violation
+    (reference line_search_filter.cpp isAccepted: loop returns true on the
+    first entry satisfying either condition; an EMPTY filter accepts).
+    Empty slots in the static array are (+inf, +inf) and are masked out
+    (inf - inf = NaN would poison the comparison otherwise)."""
+    finite = jnp.isfinite(filt[:, 1])
+    ok = ((cost < filt[:, 0] - cost_rate * filt[:, 1])
+          | (viol < (1.0 - viol_rate) * filt[:, 1]))
+    return jnp.any(finite & ok) | ~jnp.any(finite)
 
 
 def filter_augment(filt, it, cost, viol):
-    """Insert the accepted pair (round-robin over the static slots)."""
-    return filt.at[it % MAX_FILTER].set(
+    """Insert the accepted pair (round-robin over the static slots).
+    Non-finite pairs (failed trial evaluation) are dropped — a NaN entry
+    would permanently reject every future trial (NaN comparisons are
+    always false)."""
+    entry_ok = jnp.isfinite(cost) & jnp.isfinite(viol)
+    new = filt.at[it % MAX_FILTER].set(
         jnp.asarray([cost, viol], filt.dtype))
+    return jnp.where(entry_ok, new, filt)
 
 
 def filter_search(trial_fn, eval_fn, alpha_max, filt,

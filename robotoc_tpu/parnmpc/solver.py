@@ -110,11 +110,16 @@ class UnconstrParNMPCSolver:
         tol = tol or self.options.kkt_tol
         kkt = float(self._kkt_error(sol, q_init, v_init))
         it = 0
+        failed = False
         while it < max_iter and kkt > tol:
-            sol, kkt_arr, _ = self._update(sol, q_init, v_init)
+            sol, kkt_arr, alpha = self._update(sol, q_init, v_init)
             kkt = float(self._kkt_error(sol, q_init, v_init))
             it += 1
-        return sol, dict(iterations=it, kkt_error=kkt)
+            if float(alpha) == 0.0 or not jnp.isfinite(kkt):
+                failed = True
+                break
+        return sol, dict(iterations=it, kkt_error=kkt,
+                         numerical_failure=failed)
 
 
 # ---------------------------------------------------------------------------
@@ -329,4 +334,12 @@ def _update(model, cost, limits, dt, barrier, ftb, t0,
         gmm=sol.gmm + a_p * dgmm, beta=sol.beta + a_p * dbeta,
         slack=sol.slack + a_p * ds, dual=sol.dual + a_d * dz_,
         aux=aux_new)
+    # numerical-failure guard (mirrors the contact solver's dir_ok path):
+    # a PSD-but-singular condensed Hessian makes cho_factor yield NaNs —
+    # keep the previous iterate and report a zero step instead of
+    # poisoning the solution.
+    dir_ok = jnp.all(jnp.asarray(
+        [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new)]))
+    new = jax.tree.map(lambda a, b: jnp.where(dir_ok, a, b), new, sol)
+    a_p = jnp.where(dir_ok, a_p, 0.0)
     return new, jnp.sqrt(kkt_sq.sum()), a_p

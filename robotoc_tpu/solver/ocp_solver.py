@@ -495,15 +495,17 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
             -extra_ga, jnp.zeros_like(xi_new))
         d = d._replace(dbeta=d.dbeta.at[idx_sw].add(db_c),
                        dmu=d.dmu.at[idx_sw].add(dm_c))
+    # zero the whole direction on failure (0 * NaN would still be NaN);
+    # unpack AFTER the guard so line-search trial closures see the zeroed
+    # direction too (a NaN trial would otherwise poison the filter/merit)
+    d = jax.tree.map(
+        lambda x: jnp.where(dir_ok, x, jnp.zeros_like(x))
+        if x.dtype.kind == "f" else x, d)
     (da, df, dbeta, dmu, ds_lim, dz_lim, ds_cone, dz_cone) = (
         d.da, d.df, d.dbeta, d.dmu, d.ds_lim, d.dz_lim, d.ds_cone,
         d.dz_cone)
     du = d.du
     dlmd, dgmm = d.dlmd, d.dgmm
-    # zero the whole direction on failure (0 * NaN would still be NaN)
-    d = jax.tree.map(
-        lambda x: jnp.where(dir_ok, x, jnp.zeros_like(x))
-        if x.dtype.kind == "f" else x, d)
     a_p, a_d = _step_sizes(limits, ftb, sol, d)
     a_p = jnp.where(dir_ok, a_p, 0.0)
     a_d = jnp.where(dir_ok, a_d, 0.0)

@@ -34,15 +34,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
-def emit(value_updates_per_s, note=""):
-    print(json.dumps({
+def emit(value_updates_per_s, note="", kkt=None):
+    rec = {
         "metric": "ANYmal trot whole-body MPC updates/s "
-                  "(N=20, B=128 scenarios, max_iter=2, f32, 1 chip)"
-                  + note,
+                  "(N=20, B=128 scenarios, max_iter=2, f32, switching "
+                  "constraints, 1 chip)" + note,
         "value": round(value_updates_per_s, 1),
         "unit": "updates/s",
         "vs_baseline": round(value_updates_per_s / 400.0, 2),
-    }), flush=True)
+    }
+    if kkt is not None:
+        # BASELINE.md protocol 1: throughput at a recorded KKT error
+        rec["fleet_max_kkt"] = float(kkt)
+    print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -82,11 +86,13 @@ def main():
         # max_iter=2 Newton updates (reference MPC cadence); scan over the
         # iterations so the update body compiles ONCE (round-1 lesson: an
         # unrolled pair doubled the traced graph and blew the compile
-        # budget on the driver's cold cache)
+        # budget on the driver's cold cache). Switching constraints ON:
+        # the reference imposes the pure-state touchdown constraint on
+        # every impact-bearing horizon (time_discretization.cpp:138-142).
         def it(s, _):
             s, kkt, alpha, _ = OS._update(
                 m, mpc.contacts, mpc.limits, 1e-3, 0.995, mpc.n_reserved,
-                costs, s, grid, q0, v0)
+                costs, s, grid, q0, v0, enable_sw=True)
             return s, kkt
 
         sol, kkts = jax.lax.scan(it, sol, None, length=2)
@@ -106,7 +112,8 @@ def main():
     sols_t, kkt = step(sols_w, q0s, v0s)
     jax.block_until_ready(kkt)
     dt1 = time.perf_counter() - t0
-    emit(B / dt1, note=" [provisional, 1 rep]")
+    emit(B / dt1, note=" [provisional, 1 rep]",
+         kkt=float(jnp.max(kkt)))
 
     n_rep = 20
     t0 = time.perf_counter()
@@ -114,7 +121,7 @@ def main():
         sols_t, kkt = step(sols_t, q0s, v0s)
     jax.block_until_ready(kkt)
     dt_s = (time.perf_counter() - t0) / n_rep
-    emit(B / dt_s)
+    emit(B / dt_s, kkt=float(jnp.max(kkt)))
 
 
 if __name__ == "__main__":

@@ -1,9 +1,11 @@
-"""ANYmal trot whole-body MPC in closed loop with the jitted simulator.
+"""ANYmal trot whole-body MPC in closed loop via the MPCSimulation driver.
 
-Counterpart of the reference's examples/a1/mpc/trot.py +
+Counterpart of the reference's examples/anymal/mpc/trot.py +
 robotoc_sim/mpc_simulation.py (400 Hz control, max_iter=2 per update). The
-plant here is the penalty-ground forward-dynamics simulator
-(robotoc_tpu/sim/simulator.py) instead of PyBullet.
+plant is the penalty-ground forward-dynamics simulator
+(robotoc_tpu/sim/simulator.py) instead of PyBullet; the driver applies the
+interpolated LQR PD+feedforward policy each tick
+(mpc/control_policy.py).
 
 Run: JAX_PLATFORMS=cpu python examples/anymal_trot_mpc.py  (or on TPU)
 """
@@ -24,6 +26,7 @@ import jax.numpy as jnp
 
 from robotoc_tpu.models import load_robot
 from robotoc_tpu.mpc import MPCTrot
+from robotoc_tpu.sim.mpc_simulation import MPCSimulation
 from robotoc_tpu.sim.simulator import LeggedSimulator
 
 
@@ -43,24 +46,19 @@ def main():
     print(f"init KKT: {kkt0:.3e}")
 
     sim = LeggedSimulator(m, mpc.contacts, sim_dt=2.5e-4)
-    state = sim.init(q0, v0)
-    control_dt = 0.0025                      # 400 Hz MPC
-    n_sub = int(round(control_dt / sim.sim_dt))
+    driver = MPCSimulation(sim)
     sim_time = float(os.environ.get("SIM_TIME", 2.0))
-    steps = int(sim_time / control_dt)
-    for k in range(steps):
-        t = float(state.t)
-        kkt = mpc.update_solution(t, control_dt, state.q, state.v,
-                                  max_iter=2)
-        policy = mpc.get_control_policy(t)
-        u = policy.control_input(np.asarray(state.q)[-m.dimu:],
-                                 np.asarray(state.v)[-m.dimu:])
-        state = sim.step(state, jnp.asarray(u), n_substeps=n_sub)
-        if k % 40 == 0:
-            print(f"t={t:.3f}  kkt={kkt:.3e}  base z="
-                  f"{float(state.q[2]):.3f}  x={float(state.q[0]):.3f}")
-    print(f"final: x={float(state.q[0]):.3f} m traveled, "
-          f"base z={float(state.q[2]):.3f}")
+    log = driver.run(mpc, t0=0.0, q0=np.asarray(q0),
+                     simulation_time=sim_time, control_dt=0.0025,
+                     feedback_policy=True, verbose=False)
+    arrs = log.as_arrays()
+    print(f"steps: {len(arrs['t'])}  "
+          f"x traveled: {arrs['q'][-1, 0] - arrs['q'][0, 0]:.3f} m  "
+          f"base z range: [{arrs['q'][:, 2].min():.3f}, "
+          f"{arrs['q'][:, 2].max():.3f}]  "
+          f"median kkt: {np.median(arrs['kkt']):.3e}")
+    if os.environ.get("LOG_DIR"):
+        print("logs saved at", log.save(os.environ["LOG_DIR"]))
 
 
 if __name__ == "__main__":

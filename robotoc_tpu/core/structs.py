@@ -72,8 +72,9 @@ class LQRPolicy:
     p: jnp.ndarray       # (N+1, nx) value gradients
     # Constrained-stage multiplier factorization xi = Mx dx + mx
     # (reference split_riccati_factorization.hpp M()/m()) + cached pieces
-    # for multi-RHS vector sweeps (GiPhiuT = Quu_bar^{-1} Phiu^T, S_chol).
+    # for multi-RHS vector sweeps (GiPhiuT = Quu_bar^{-1} Phiu^T, S_chol
+    # holds the INVERSE of the constraint Schur complement S).
     Mx: jnp.ndarray = None       # (N, nf, nx)
     mx: jnp.ndarray = None       # (N, nf)
     GiPhiuT: jnp.ndarray = None  # (N, nu, nf)
-    S_chol: jnp.ndarray = None   # (N, nf, nf) Cholesky factor of S
+    S_chol: jnp.ndarray = None   # (N, nf, nf) S^{-1}

@@ -137,10 +137,21 @@ jax.tree_util.register_pytree_node(
     lambda aux, ch: DiscountedCost(ch[0], *aux))
 
 
-def quadratize_stage(components, model, nf, q, v, a, u, f, t, dt):
+def quadratize_stage(components, model, nf, q, v, a, u, f, t, dt,
+                     kin=None):
+    """kin (optional): (frame_ids, task, Jq) — pre-computed task-space
+    kinematics from the stage kernel's shared chain. Components whose
+    `kin_frame_ids` match take the fused fast path
+    (quadratize_stage_kin); others run their own kinematics as usual."""
     out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
     for comp in components:
-        out = out + comp.quadratize_stage(model, nf, q, v, a, u, f, t, dt)
+        if (kin is not None
+                and getattr(comp, "kin_frame_ids", None) == kin[0]):
+            out = out + comp.quadratize_stage_kin(
+                model, nf, q, v, a, u, f, t, dt, kin[1], kin[2])
+        else:
+            out = out + comp.quadratize_stage(model, nf, q, v, a, u, f,
+                                              t, dt)
     return out
 
 
@@ -151,11 +162,26 @@ def quadratize_terminal(components, model, q, v, t):
     return out
 
 
-def quadratize_impact(components, model, q, v, dv, t):
+def quadratize_impact(components, model, q, v, dv, t, kin=None):
     out = ImpactQuad.zeros(model.nv, model.dtype)
     for comp in components:
-        out = out + comp.quadratize_impact(model, q, v, dv, t)
+        if (kin is not None
+                and getattr(comp, "kin_frame_ids", None) == kin[0]):
+            out = out + comp.quadratize_impact_kin(model, q, v, dv, t,
+                                                   kin[1], kin[2])
+        else:
+            out = out + comp.quadratize_impact(model, q, v, dv, t)
     return out
+
+
+def kin_fold_frames(components):
+    """The frame tuple a stage kernel should bake task kinematics for, or
+    None if no component takes the fused path (static, trace-time)."""
+    for comp in components:
+        fids = getattr(comp, "kin_frame_ids", None)
+        if fids is not None:
+            return tuple(fids)
+    return None
 
 
 def eval_stage(components, model, q, v, a, u, f, t, dt):

@@ -291,6 +291,73 @@ class TaskSpace6DCost:
         return out._replace(cost=c, lq=lq, Qqq=Qqq)
 
 
+@struct.dataclass
+class BaseRotationCost:
+    """Floating-base orientation tracking vs a time-varying quaternion
+    reference (the reference's base-rotation ConfigurationSpaceCost with
+    an MPCPeriodicConfigurationRef, mpc_trot.cpp:55-60 +
+    mpc_periodic_configuration_ref.cpp). Residual
+    r = log3(R_ref(t)^T R_base(q)) on the base-rotation tangent rows;
+    Gauss-Newton via a 3-tangent jacfwd (no FK chain needed — the base
+    quaternion is read directly from q[3:7])."""
+    weight: jnp.ndarray          # (3,)
+    weight_terminal: jnp.ndarray
+    weight_impact: jnp.ndarray
+    ref: object                  # callable: t -> (quat_ref (4,), active)
+
+    def _residual(self, q, t):
+        from ..ops import lie
+        R = lie.quat_to_rot(q[..., 3:7])
+        q_ref, active = self.ref(t)
+        R_ref = lie.quat_to_rot(q_ref)
+        return lie.so3_log(jnp.swapaxes(R_ref, -1, -2) @ R), active
+
+    def _quad(self, model, q, t, w):
+        from ..ops import lie
+        r, active = self._residual(q, t)
+        R = lie.quat_to_rot(q[3:7])
+        q_ref, _ = self.ref(t)
+        R_ref = lie.quat_to_rot(q_ref)
+
+        def res_of(phi):
+            return lie.so3_log(R_ref.T @ (R @ lie.so3_exp(phi)))
+
+        J3 = jax.jacfwd(res_of)(jnp.zeros(3, q.dtype))     # (3, 3)
+        wr = active * w * r
+        cost = 0.5 * active * jnp.sum(w * r * r)
+        lq = jnp.zeros(model.nv, q.dtype).at[3:6].set(J3.T @ wr)
+        Qqq = jnp.zeros((model.nv, model.nv), q.dtype).at[3:6, 3:6].set(
+            J3.T @ ((active * w)[:, None] * J3))
+        return cost, lq, Qqq
+
+    def eval_stage(self, model, q, v, a, u, f, t, dt):
+        r, active = self._residual(q, t)
+        return dt * 0.5 * active * jnp.sum(self.weight * r * r)
+
+    def eval_terminal(self, model, q, v, t):
+        r, active = self._residual(q, t)
+        return 0.5 * active * jnp.sum(self.weight_terminal * r * r)
+
+    def eval_impact(self, model, q, v, dv, t):
+        r, active = self._residual(q, t)
+        return 0.5 * active * jnp.sum(self.weight_impact * r * r)
+
+    def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
+        c, lq, Qqq = self._quad(model, q, t, self.weight)
+        out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
+        return out._replace(cost=dt * c, lq=dt * lq, Qqq=dt * Qqq)
+
+    def quadratize_terminal(self, model, q, v, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_terminal)
+        out = TerminalQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+    def quadratize_impact(self, model, q, v, dv, t):
+        c, lq, Qqq = self._quad(model, q, t, self.weight_impact)
+        out = ImpactQuad.zeros(model.nv, model.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
+
+
 # ---------------------------------------------------------------------------
 # Fused multi-frame cost (compile-size optimization)
 # ---------------------------------------------------------------------------
@@ -352,6 +419,38 @@ class MultiFrameTaskCost:
         lq = J.T @ wr
         Qqq = J.T @ (w[:, None] * J)
         return cost, lq, Qqq
+
+    # --- fused-chain fast path (ocp/contact_stage.py) ---
+    @property
+    def kin_frame_ids(self):
+        """Stage kernels that already run a kinematic sweep over these
+        frames (+CoM) supply (task, dtask/dq) directly — the cost then
+        skips its own FK + jacfwd chain (models/contacts.py
+        _task_outputs defines the layout: frames in order, then CoM)."""
+        return self.frame_ids
+
+    def _quad_kin(self, t, w_foot, w_com, task, Jq):
+        ref, act = self._ref_active(t, task.dtype)
+        w = self._w(w_foot, w_com) * act
+        r = task - ref
+        wr = w * r
+        cost = 0.5 * jnp.sum(w * r * r)
+        lq = Jq.T @ wr
+        Qqq = Jq.T @ (w[:, None] * Jq)
+        return cost, lq, Qqq
+
+    def quadratize_stage_kin(self, model, nf, q, v, a, u, f, t, dt,
+                             task, Jq):
+        c, lq, Qqq = self._quad_kin(t, self.foot_weight, self.com_weight,
+                                    task, Jq)
+        out = StageQuad.zeros(model.nv, model.dimu, nf, q.dtype)
+        return out._replace(cost=dt * c, lq=dt * lq, Qqq=dt * Qqq)
+
+    def quadratize_impact_kin(self, model, q, v, dv, t, task, Jq):
+        c, lq, Qqq = self._quad_kin(t, self.foot_weight_impact,
+                                    self.com_weight_impact, task, Jq)
+        out = ImpactQuad.zeros(model.nv, q.dtype)
+        return out._replace(cost=c, lq=lq, Qqq=Qqq)
 
     # --- component interface (costs/base.py) ---
     def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):

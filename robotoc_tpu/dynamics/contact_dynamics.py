@@ -29,16 +29,41 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
+from ..ops.linalg import gauss_jordan_inverse
+
 
 def mjtj_inverse(M, J, inactive_diag):
-    """Blocks of Psi = [[M, J^T], [J, -D]]^{-1} via the contact-space Schur
-    complement (reference robot.hpp:658 computeMJtJinv).
+    """Blocks of Psi = [[M, J^T], [J, -D]]^{-1}
+    (reference robot.hpp:658 computeMJtJinv — there a dense Schur
+    complement via Eigen LLT; here one unrolled Gauss-Jordan sweep of the
+    full symmetric KKT block, see gauss_jordan_inverse).
 
     M: (nv, nv) SPD; J: (nf, nv) with inactive rows zeroed;
     inactive_diag: (nf,) 1.0 on inactive rows, 0.0 on active.
 
     Psi = [[inv11, inv12], [inv12^T, -Sinv]]  (symmetric).
     """
+    nv = M.shape[-1]
+    nf = J.shape[-2]
+    Jt = jnp.swapaxes(J, -1, -2)
+    D = inactive_diag[..., None] * jnp.eye(nf, dtype=M.dtype)
+    T = jnp.concatenate([
+        jnp.concatenate([M, Jt], axis=-1),
+        jnp.concatenate([J, -D], axis=-1)], axis=-2)
+    Psi = gauss_jordan_inverse(T)
+    inv11 = Psi[..., :nv, :nv]
+    inv12 = Psi[..., :nv, nv:]
+    Sinv = -Psi[..., nv:, nv:]
+    # exact symmetry (GJ drift is O(eps); downstream ty_solve assumes it)
+    inv11 = 0.5 * (inv11 + jnp.swapaxes(inv11, -1, -2))
+    Sinv = 0.5 * (Sinv + jnp.swapaxes(Sinv, -1, -2))
+    return inv11, inv12, Sinv
+
+
+def mjtj_inverse_chol(M, J, inactive_diag):
+    """Reference implementation via the explicit contact-space Schur
+    complement and Cholesky (kept as the numerical oracle for
+    tests/test_contact_stage_oracle.py; same blocks as mjtj_inverse)."""
     c, lower = cho_factor(M)
     MinvJt = cho_solve((c, lower), jnp.swapaxes(J, -1, -2))   # (nv, nf)
     S = J @ MinvJt + jnp.diag(inactive_diag)                  # (nf, nf) SPD

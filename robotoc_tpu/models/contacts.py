@@ -427,14 +427,35 @@ def _contact_groups(contacts):
     return groups
 
 
+def _task_outputs(model, contacts, RS, PS):
+    """(nc*3 + 3,) task vector from an already-computed forward sweep:
+    world positions of every contact frame (in contact order) + the CoM —
+    the gait MPC's task-cost kinematics (costs/task_cost.py
+    MultiFrameTaskCost._task) as a byproduct of the shared chain."""
+    import numpy as _np
+    dt = PS.dtype
+    feet = jnp.zeros((contacts.n_contacts, 3), dt)
+    for gr in _contact_groups(contacts):
+        cs, fids = gr["cs"], gr["fids"]
+        pars = _np.asarray([model.frame_parents[f] for f in fids])
+        pw = (RS[pars] @ model.frame_p[fids][..., None])[..., 0] + PS[pars]
+        feet = feet.at[cs].set(pw)
+    ci = (RS @ model.com[..., None])[..., 0] + PS
+    com = jnp.sum(model.mass[:, None] * ci, axis=-2) / jnp.sum(model.mass)
+    return jnp.concatenate([feet.reshape(-1), com])
+
+
 def fused_stage_outputs(model, contacts: ContactModel, q, v, a, f_eff,
-                        fric, p_ref, R_ref=None, gravity_on=True):
-    """(tau, C, g_cone, dgdf) from one shared level-batched chain.
+                        fric, p_ref, R_ref=None, gravity_on=True,
+                        with_task=False):
+    """(tau, C, g_cone, dgdf[, task]) from one shared level-batched chain.
 
     tau: inverse-dynamics torques RNEA(q,v,a) - J^T f  (nv,)
     C:   stacked Baumgarte residuals (max_dimf,)  [unmasked]
     g:   stacked cone residuals (dimc_cone,)
     dgdf: (dimc_cone, max_dimf) cone force Jacobian (values; block diag).
+    task (with_task=True): contact-frame world positions + CoM (3nc+3,)
+    for the fused task-cost path.
     """
     import numpy as _np
     from ..constraints import friction_cone as fcone
@@ -484,33 +505,52 @@ def fused_stage_outputs(model, contacts: ContactModel, q, v, a, f_eff,
         ci = gr["cone_idx"][..., :, None]                # (k, rows, 1)
         fi = gr["f_idx"][..., None, :]                   # (k, 1, cols)
         dgdf = dgdf.at[ci, fi].set(dg)
+    if with_task:
+        return tau, C, g, dgdf, _task_outputs(model, contacts, RS, PS)
     return tau, C, g, dgdf
 
 
 def fused_stage_derivatives(model, contacts, q, v, a, f_eff, fric,
-                            p_ref, R_ref=None, gravity_on=True):
+                            p_ref, R_ref=None, gravity_on=True,
+                            with_task=False):
     """Values + Jacobians of (tau, C, g) with ONE fused 3nv-tangent jacfwd
     of the shared chain. Returns
-      ((tau, C, g, dgdf), (dtau_dq, dtau_dv, M), (dCdq, dCdv, Jc), dgdq)."""
+      ((tau, C, g, dgdf), (dtau_dq, dtau_dv, M), (dCdq, dCdv, Jc), dgdq)
+    plus, when with_task, a trailing (task, dtask_dq) pair — the task-cost
+    kinematics rows ride the SAME chain and the same q-tangents instead of
+    a second FK + jacfwd (round-2 profile: the separate cost chain was
+    15 ms of an 83 ms build)."""
     nv = model.nv
     nf = contacts.max_dimf
-    tau, C, g, dgdf = fused_stage_outputs(model, contacts, q, v, a, f_eff,
-                                          fric, p_ref, R_ref, gravity_on)
+    out = fused_stage_outputs(model, contacts, q, v, a, f_eff,
+                              fric, p_ref, R_ref, gravity_on,
+                              with_task=with_task)
+    if with_task:
+        tau, C, g, dgdf, task = out
+    else:
+        tau, C, g, dgdf = out
     z = jnp.zeros(3 * nv, dtype=model.dtype)
 
     def f_all(e):
-        t2, C2, g2, _ = fused_stage_outputs(
+        o2 = fused_stage_outputs(
             model, contacts, rm.integrate(model, q, e[:nv]),
             v + e[nv:2 * nv], a + e[2 * nv:], f_eff, fric, p_ref, R_ref,
-            gravity_on)
-        return jnp.concatenate([t2, C2, g2])
+            gravity_on, with_task=with_task)
+        if with_task:
+            return jnp.concatenate([o2[0], o2[1], o2[2], o2[4]])
+        return jnp.concatenate([o2[0], o2[1], o2[2]])
 
     J = jax.jacfwd(f_all)(z)
-    Jt, Jc, Jg = J[:nv], J[nv:nv + nf], J[nv + nf:]
-    return ((tau, C, g, dgdf),
+    ng = contacts.dimc_cone
+    Jt, Jc, Jg = J[:nv], J[nv:nv + nf], J[nv + nf:nv + nf + ng]
+    base = ((tau, C, g, dgdf),
             (Jt[:, :nv], Jt[:, nv:2 * nv], Jt[:, 2 * nv:]),
             (Jc[:, :nv], Jc[:, nv:2 * nv], Jc[:, 2 * nv:]),
             Jg[:, :nv])
+    if with_task:
+        Jtask = J[nv + nf + ng:, :nv]
+        return base + ((task, Jtask),)
+    return base
 
 
 def _velocity_forward(model, PL_R, PL_p, vpost):
@@ -544,10 +584,10 @@ def _velocity_forward(model, PL_R, PL_p, vpost):
 
 
 def fused_impact_outputs(model, contacts: ContactModel, q, dv, vpost,
-                         lam_eff, fric):
-    """(tau_imp, Cvel, g_cone, dgdf) for the impact stage from one shared
-    chain: impulse dynamics RNEAImpact(q, dv) - J^T Lambda, post-impact
-    contact velocity at (q, vpost), impact cone on Lambda."""
+                         lam_eff, fric, with_task=False):
+    """(tau_imp, Cvel, g_cone, dgdf[, task]) for the impact stage from one
+    shared chain: impulse dynamics RNEAImpact(q, dv) - J^T Lambda,
+    post-impact contact velocity at (q, vpost), impact cone on Lambda."""
     import numpy as _np
     from ..constraints import friction_cone as fcone
     dt = q.dtype
@@ -584,27 +624,43 @@ def fused_impact_outputs(model, contacts: ContactModel, q, dv, vpost,
         ci = gr["cone_idx"][..., :, None]
         fi = gr["f_idx"][..., None, :]
         dgdf = dgdf.at[ci, fi].set(dg)
+    if with_task:
+        return tau, C, g, dgdf, _task_outputs(model, contacts, RS, PS)
     return tau, C, g, dgdf
 
 
-def fused_impact_derivatives(model, contacts, q, dv, v, lam_eff, fric):
+def fused_impact_derivatives(model, contacts, q, dv, v, lam_eff, fric,
+                             with_task=False):
     """Values + Jacobians for the impact stage with one fused jacfwd over
     (dq, ddv) — the post-impact velocity residual's v-dependence equals its
     dv-dependence (vpost = v + dv), so dC/dv rides the ddv tangents.
-    Returns ((tau, C, g, dgdf), (dtau_dq, Mi), (dCdq, Jc), dgdq)."""
+    Returns ((tau, C, g, dgdf), (dtau_dq, Mi), (dCdq, Jc), dgdq) plus,
+    when with_task, a trailing (task, dtask_dq) pair."""
     nv = model.nv
     nf = contacts.max_dimf
-    tau, C, g, dgdf = fused_impact_outputs(model, contacts, q, dv, v + dv,
-                                           lam_eff, fric)
+    out = fused_impact_outputs(model, contacts, q, dv, v + dv,
+                               lam_eff, fric, with_task=with_task)
+    if with_task:
+        tau, C, g, dgdf, task = out
+    else:
+        tau, C, g, dgdf = out
     z = jnp.zeros(2 * nv, dtype=model.dtype)
 
     def f_all(e):
-        t2, C2, g2, _ = fused_impact_outputs(
+        o2 = fused_impact_outputs(
             model, contacts, rm.integrate(model, q, e[:nv]),
-            dv + e[nv:], v + dv + e[nv:], lam_eff, fric)
-        return jnp.concatenate([t2, C2, g2])
+            dv + e[nv:], v + dv + e[nv:], lam_eff, fric,
+            with_task=with_task)
+        if with_task:
+            return jnp.concatenate([o2[0], o2[1], o2[2], o2[4]])
+        return jnp.concatenate([o2[0], o2[1], o2[2]])
 
     J = jax.jacfwd(f_all)(z)
-    Jt, Jc, Jg = J[:nv], J[nv:nv + nf], J[nv + nf:]
-    return ((tau, C, g, dgdf), (Jt[:, :nv], Jt[:, nv:]),
+    ng = contacts.dimc_cone
+    Jt, Jc, Jg = J[:nv], J[nv:nv + nf], J[nv + nf:nv + nf + ng]
+    base = ((tau, C, g, dgdf), (Jt[:, :nv], Jt[:, nv:]),
             (Jc[:, :nv], Jc[:, nv:]), Jg[:, :nv])
+    if with_task:
+        Jtask = J[nv + nf + ng:, :nv]
+        return base + ((task, Jtask),)
+    return base

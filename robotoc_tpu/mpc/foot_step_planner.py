@@ -67,11 +67,29 @@ class GaitFootStepPlanner:
     (generalizes the reference's per-gait planners; see module docstring)."""
 
     def __init__(self, model, feet_frames, cycle: Sequence[Tuple[int, ...]],
-                 first_step_factor: float = 0.5):
+                 first_step_factor: float = 0.5, terrain=None):
+        """terrain: optional height map callable z = terrain(x, y) — planned
+        foot placements snap to the terrain surface (the reference reads
+        heights from the PyBullet heightfield instead,
+        robotoc_sim/legged_simulator.py:16-54)."""
         self.model = model
         self.frame_ids = [model.frame_id(f) for f in feet_frames]
         self.nc = len(self.frame_ids)
+        self.terrain = terrain
         self.cycle = tuple(tuple(s) for s in cycle)
+        # jitted measured-kinematics kernel: eager per-op FK dispatch cost
+        # ~tens of ms per plan() on a busy host (round-2 review item #6)
+        import jax
+        import jax.numpy as jnp
+        fids = tuple(self.frame_ids)
+
+        def _fk(q):
+            Rw, pw = forward_kinematics(model, q)
+            feet = jnp.stack([frame_placement(model, fid, Rw, pw)[1]
+                              for fid in fids])
+            return feet, com_fn(model, q)
+
+        self._fk_feet_com = jax.jit(_fk)
         self.com_advance = 1.0 / len(self.cycle)
         self.first_step_factor = float(first_step_factor)
         self.step_length = np.zeros(3)
@@ -112,12 +130,11 @@ class GaitFootStepPlanner:
     def init(self, q):
         q = np.asarray(q, float)
         R = _yaw_projection(_quat_to_R(q[3:7]))
-        Rw, pw = forward_kinematics(self.model, q)
-        com = np.asarray(com_fn(self.model, q))
-        self.com_to_foot_local = [
-            R.T @ (np.asarray(frame_placement(self.model, fid, Rw, pw)[1])
-                   - com)
-            for fid in self.frame_ids]
+        feet, com = self._fk_feet_com(q)
+        feet = np.asarray(feet)
+        com = np.asarray(com)
+        self.com_to_foot_local = [R.T @ (feet[i] - com)
+                                  for i in range(self.nc)]
         self.current_step = 0
         self._R = R
         if self.vcom_filter is not None:
@@ -135,9 +152,9 @@ class GaitFootStepPlanner:
                 vavg = np.zeros(2)
             self.step_length = self.raibert.step_length(
                 vavg[:2], self.vcom_cmd[:2], self.yaw_rate_cmd)
-        Rw, pw = forward_kinematics(self.model, q)
-        pos = [np.asarray(frame_placement(self.model, fid, Rw, pw)[1])
-               for fid in self.frame_ids]
+        feet, _ = self._fk_feet_com(q)
+        feet = np.asarray(feet)
+        pos = [feet[i] for i in range(self.nc)]
         R = getattr(self, "_R", _yaw_projection(_quat_to_R(q[3:7])))
         active = list(contact_active)
         n_cyc = len(self.cycle)
@@ -171,6 +188,7 @@ class GaitFootStepPlanner:
             for i in swing:
                 pos[i] = com + R @ (self.com_to_foot_local[i]
                                     - 0.5 * self.step_length)
+                pos[i] = self._snap(pos[i])
         self._R = R
 
         positions = [np.stack(pos)]
@@ -187,16 +205,24 @@ class GaitFootStepPlanner:
                     1.0 if self.enable_raibert else self.first_step_factor)
                 com = com + adv * (R @ self.step_length)
                 for i in self.swing_set(step):
-                    pos[i] = com + R @ self.com_to_foot_local[i]
+                    pos[i] = self._snap(com + R @ self.com_to_foot_local[i])
             else:
                 R = self.R_yaw @ R
                 com = com + self.com_advance * (R @ self.step_length)
                 for i in self.swing_set(step):
-                    pos[i] = com + R @ self.com_to_foot_local[i]
+                    pos[i] = self._snap(com + R @ self.com_to_foot_local[i])
             positions.append(np.stack([p.copy() for p in pos]))
             coms.append(com.copy())
             Rs.append(R.copy())
         return np.stack(positions), np.stack(coms), np.stack(Rs)
+
+    def _snap(self, p):
+        """Snap a planned placement to the terrain surface (no-op flat)."""
+        if self.terrain is None:
+            return p
+        p = np.asarray(p, float).copy()
+        p[2] = float(self.terrain(p[0], p[1]))
+        return p
 
 
 class TrotFootStepPlanner(GaitFootStepPlanner):
@@ -206,9 +232,10 @@ class TrotFootStepPlanner(GaitFootStepPlanner):
     PAIR_A = (0, 3)   # LF, RH
     PAIR_B = (1, 2)   # LH, RF
 
-    def __init__(self, model, feet_frames):
+    def __init__(self, model, feet_frames, terrain=None):
         super().__init__(model, feet_frames,
-                         cycle=(self.PAIR_B, self.PAIR_A))
+                         cycle=(self.PAIR_B, self.PAIR_A),
+                         terrain=terrain)
 
     def set_raibert_gait_pattern(self, vcom_cmd, yaw_rate_cmd, swing_time,
                                  stance_time, gain):

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from ..constraints.joint_limits import make_joint_limits
 from ..costs.config_cost import make_config_cost
-from ..costs.task_cost import (CoMCost, MultiFrameTaskCost,
-                               TaskSpace3DCost)
+from ..costs.task_cost import (BaseRotationCost, CoMCost,
+                               MultiFrameTaskCost, TaskSpace3DCost)
 from ..models import com as com_fn
 from ..models import forward_kinematics, frame_placement
 from ..models import robot as rm
@@ -39,7 +39,7 @@ from ..models import contacts as ct
 from ..planner.contact_sequence import ContactSchedule, discretize
 from ..solver.ocp_solver import OCPSolver, SolverOptions, align_solution
 from .foot_step_planner import GaitFootStepPlanner
-from .refs import StepCoMRef, StepSwingFootRef
+from .refs import StepBaseRotRef, StepCoMRef, StepSwingFootRef
 
 FEET_DEFAULT = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
 
@@ -53,7 +53,8 @@ class PeriodicGaitMPC:
 
     def __init__(self, model: rm.RobotModel, T: float, N: int,
                  feet=None, friction_coefficient: float = 0.5,
-                 options: SolverOptions = SolverOptions(max_iter=2),
+                 options: SolverOptions = SolverOptions(
+                     max_iter=2, switching_constraints=True),
                  baumgarte_time_step: float = 0.05,
                  contact_types=None, rect=(0.05, 0.025)):
         self.model = model
@@ -67,25 +68,30 @@ class PeriodicGaitMPC:
         self.friction = friction_coefficient
         nv, dimu = model.nv, model.dimu
         dt = model.dtype
-        # cost weights (reference src/mpc/mpc_trot.cpp:42-81 et al.)
+        # cost weights — the reference's exact trot stack
+        # (mpc_trot.cpp:42-81: joints 0.001 / impact 1, v 1.0, u 1e-2,
+        # base-rot 1000 via a separate time-varying ref, feet 1e4 and CoM
+        # 1e3 STAGE-ONLY — terminal/impact task weights default to zero).
+        # Round-2 used the standing-benchmark weights (base-rot 2.5e5,
+        # feet 1e6 incl. terminal), which blew up the terminal KKT rows
+        # whenever a swing ref crossed the horizon end and throttled the
+        # fraction-to-boundary step to ~0.05 in closed loop.
         self.config_cost = make_config_cost(
             model,
-            q_weight=jnp.asarray([0, 0, 0, 250000, 250000, 250000]
-                                 + [0.0001] * (nv - 6), dt),
-            v_weight=jnp.asarray([100.0] * 6 + [1.0] * (nv - 6), dt),
-            a_weight=jnp.asarray([1e-6] * nv, dt),
-            u_weight=jnp.asarray([1e-2] * dimu, dt),
+            q_weight=jnp.asarray([0.0] * 6 + [0.001] * (nv - 6), dt),
+            v_weight=jnp.full(nv, 1.0, dt),
+            a_weight=jnp.full(nv, 1e-6, dt),
+            u_weight=jnp.full(dimu, 1e-2, dt),
             q_weight_terminal=jnp.asarray(
-                [0, 0, 0, 250000, 250000, 250000] + [0.0001] * (nv - 6), dt),
-            v_weight_terminal=jnp.asarray([100.0] * 6 + [1.0] * (nv - 6),
-                                          dt),
-            q_weight_impact=jnp.asarray(
-                [0, 0, 0, 100, 100, 100] + [0.1] * (nv - 6), dt),
-            v_weight_impact=jnp.asarray([100.0] * nv, dt),
-            dv_weight_impact=jnp.asarray([1e-3] * nv, dt),
+                [0.0] * 6 + [0.001] * (nv - 6), dt),
+            v_weight_terminal=jnp.full(nv, 1.0, dt),
+            q_weight_impact=jnp.asarray([0.0] * 6 + [1.0] * (nv - 6), dt),
+            v_weight_impact=jnp.full(nv, 1.0, dt),
+            dv_weight_impact=jnp.full(nv, 1e-3, dt),
         )
-        self.foot_weight = jnp.full(3, 1e6, dt)
-        self.com_weight = jnp.full(3, 1e4, dt)
+        self.base_rot_weight = jnp.full(3, 1000.0, dt)
+        self.foot_weight = jnp.full(3, 1e4, dt)
+        self.com_weight = jnp.full(3, 1e3, dt)
         self.limits = make_joint_limits(model)
         self.n_reserved = max(2, int(math.ceil(T / 0.2)) + 1)
         self.planner: Optional[GaitFootStepPlanner] = None
@@ -101,9 +107,11 @@ class PeriodicGaitMPC:
         self._costs = None
 
     # ------------------------------------------------------------------
-    def make_planner(self, first_step_factor: float = 0.5):
+    def make_planner(self, first_step_factor: float = 0.5, terrain=None):
+        """terrain: optional height map z = terrain(x, y); planned
+        placements (and hence swing/contact refs) follow the surface."""
         return GaitFootStepPlanner(self.model, self.feet, self.CYCLE,
-                                   first_step_factor)
+                                   first_step_factor, terrain=terrain)
 
     def set_gait_pattern(self, planner: GaitFootStepPlanner,
                          swing_height: float, swing_time: float,
@@ -202,38 +210,46 @@ class PeriodicGaitMPC:
                           n_reserved=self.n_reserved, dtype=dtype)
 
         # swing-foot references (reference mpc_periodic_swing_foot_ref.cpp)
-        foot_refs = []
         K = self.K
         npos = positions.shape[0]
 
         def phase_of(s_abs):
             return s_abs - s_now if s_now >= 1 else s_abs
 
+        # bake all feet into numpy and convert to device arrays ONCE
+        # (per-leaf eager conversions were a measurable slice of the
+        # host ms/update, round-2 review item #6)
+        ts_all = np.full((nc, K), 1e9)
+        durs_all = np.full((nc, K), self.swing_time)
+        xp_all = np.zeros((nc, K, 3))
+        xn_all = np.zeros((nc, K, 3))
+        val_all = np.zeros((nc, K))
         for i in range(nc):
-            t_start = np.full(K, 1e9)
-            durs = np.full(K, self.swing_time)
-            x_prev = np.zeros((K, 3))
-            x_next = np.zeros((K, 3))
-            valid = np.zeros(K)
             slot = 0
             for s_abs in range(max(1, s_now), s_now + K + 1):
                 if i in self._swing_set(s_abs) and slot < K:
                     pph = min(phase_of(s_abs), npos - 2)
                     w0, wd = self._swing_window(s_abs)
-                    t_start[slot] = w0
-                    durs[slot] = wd
-                    x_prev[slot] = positions[pph][i]
-                    x_next[slot] = positions[pph + 1][i]
-                    valid[slot] = 1.0
+                    ts_all[i, slot] = w0
+                    durs_all[i, slot] = wd
+                    xp_all[i, slot] = positions[pph][i]
+                    xn_all[i, slot] = positions[pph + 1][i]
+                    val_all[i, slot] = 1.0
                     slot += 1
-            order = np.argsort(t_start)
-            foot_refs.append(StepSwingFootRef(
-                x_prev=jnp.asarray(x_prev[order], dtype),
-                x_next=jnp.asarray(x_next[order], dtype),
-                t_start=jnp.asarray(t_start[order], dtype),
-                swing_time=jnp.asarray(durs[order], dtype),
-                step_height=jnp.asarray(self.swing_height, dtype),
-                valid=jnp.asarray(valid[order], dtype)))
+            order = np.argsort(ts_all[i])
+            ts_all[i] = ts_all[i][order]
+            durs_all[i] = durs_all[i][order]
+            xp_all[i] = xp_all[i][order]
+            xn_all[i] = xn_all[i][order]
+            val_all[i] = val_all[i][order]
+        stacked_foot_refs = StepSwingFootRef(
+            x_prev=jnp.asarray(xp_all, dtype),
+            x_next=jnp.asarray(xn_all, dtype),
+            t_start=jnp.asarray(ts_all, dtype),
+            swing_time=jnp.asarray(durs_all, dtype),
+            step_height=jnp.broadcast_to(
+                jnp.asarray(self.swing_height, dtype), (nc,)),
+            valid=jnp.asarray(val_all, dtype))
         # CoM reference (reference mpc_periodic_com_ref.cpp)
         t_start = np.full(K, 1e9)
         com_steps = np.zeros((K + 1, 3))
@@ -249,21 +265,49 @@ class PeriodicGaitMPC:
                              swing_time=jnp.asarray(
                                  self.swing_time + self.flying_time, dtype),
                              valid=jnp.asarray(valid, dtype))
+        # base-rotation reference: slerp the planner's per-step yaw
+        # rotations over the swing windows (reference
+        # mpc_periodic_configuration_ref.cpp:95-110); step indexing
+        # mirrors the CoM-ref baking above. Planner rotations are pure
+        # yaw, so the quaternion is closed-form in numpy.
+        def _yaw_quat(R):
+            yaw = np.arctan2(R[1, 0], R[0, 0])
+            return np.array([0.0, 0.0, np.sin(0.5 * yaw),
+                             np.cos(0.5 * yaw)])
+
+        quat_steps = np.zeros((K + 1, 4))
+        quat_steps[0] = _yaw_quat(Rs[min(phase_of(max(1, s_now)),
+                                         npos - 2)])
+        for k, s_abs in enumerate(range(max(1, s_now), s_now + K)):
+            pph = min(phase_of(s_abs), npos - 2)
+            quat_steps[k + 1] = _yaw_quat(Rs[pph + 1])
+        base_rot_ref = StepBaseRotRef(
+            quat_steps=jnp.asarray(quat_steps, dtype),
+            t_start=jnp.asarray(t_start, dtype),
+            swing_time=jnp.asarray(self.swing_time + self.flying_time,
+                                   dtype),
+            valid=jnp.asarray(valid, dtype))
+        base_rot_cost = BaseRotationCost(
+            weight=self.base_rot_weight,
+            weight_terminal=self.base_rot_weight,
+            weight_impact=self.base_rot_weight,
+            ref=base_rot_ref)
         # ONE fused multi-frame task cost (feet + CoM share a single FK
         # chain + jacfwd) instead of nc TaskSpace3DCost + CoMCost — 3x
-        # smaller stage-kernel XLA module, same math
-        stacked_foot_refs = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *foot_refs)
+        # smaller stage-kernel XLA module, same math. Terminal/impact task
+        # weights are ZERO like the reference (task_space_3d_cost.cpp:11-12
+        # defaults, never set by the MPC classes).
+        zero3 = jnp.zeros(3, dtype)
         task_cost = MultiFrameTaskCost(
             frame_ids=self.contacts.frame_ids,
             foot_weight=self.foot_weight,
-            foot_weight_terminal=self.foot_weight,
-            foot_weight_impact=self.foot_weight,
+            foot_weight_terminal=zero3,
+            foot_weight_impact=zero3,
             com_weight=self.com_weight,
-            com_weight_terminal=self.com_weight,
-            com_weight_impact=self.com_weight,
+            com_weight_terminal=zero3,
+            com_weight_impact=zero3,
             foot_refs=stacked_foot_refs, com_ref=com_ref)
-        costs = (self.config_cost, task_cost)
+        costs = (self.config_cost, base_rot_cost, task_cost)
         return grid, costs
 
     # ------------------------------------------------------------------
@@ -332,10 +376,6 @@ class MPCCrawl(PeriodicGaitMPC):
     crawl_foot_step_planner.cpp:162-238)."""
     CYCLE = ((3,), (2,), (1,), (0,))
 
-    def make_planner(self, first_step_factor: float = 0.5):
-        return GaitFootStepPlanner(self.model, self.feet, self.CYCLE,
-                                   first_step_factor)
-
 
 class MPCFlyingTrot(PeriodicGaitMPC):
     """Flying trot: diagonal pairs with a flight phase between steps
@@ -360,7 +400,8 @@ class MPCBipedWalk(PeriodicGaitMPC):
 
     def __init__(self, model: rm.RobotModel, T: float, N: int,
                  feet=None, friction_coefficient: float = 0.5,
-                 options: SolverOptions = SolverOptions(max_iter=2),
+                 options: SolverOptions = SolverOptions(
+                     max_iter=2, switching_constraints=True),
                  baumgarte_time_step: float = 0.05,
                  wrench_cone_rect=(0.1, 0.05)):
         feet = feet or self.FEET_BIPED

@@ -26,5 +26,5 @@ PAIR_B = (1, 2)
 class MPCTrot(PeriodicGaitMPC):
     CYCLE = (PAIR_B, PAIR_A)
 
-    def make_planner(self, first_step_factor: float = 0.5):
-        return TrotFootStepPlanner(self.model, self.feet)
+    def make_planner(self, first_step_factor: float = 0.5, terrain=None):
+        return TrotFootStepPlanner(self.model, self.feet, terrain=terrain)

@@ -42,6 +42,47 @@ class StepSwingFootRef:
         return pos, jnp.where(in_swing, 1.0, 0.0).astype(pos.dtype)
 
 
+def _slerp(q0, q1, s):
+    """Quaternion slerp with shortest-arc sign correction, (x,y,z,w)."""
+    dot = jnp.sum(q0 * q1, axis=-1)
+    q1 = jnp.where(dot < 0.0, -q1, q1)
+    dot = jnp.abs(dot)
+    dot = jnp.clip(dot, -1.0, 1.0)
+    theta = jnp.arccos(dot)
+    sin_t = jnp.sin(theta)
+    small = sin_t < 1e-6
+    w0 = jnp.where(small, 1.0 - s, jnp.sin((1.0 - s) * theta)
+                   / jnp.where(small, 1.0, sin_t))
+    w1 = jnp.where(small, s, jnp.sin(s * theta)
+                   / jnp.where(small, 1.0, sin_t))
+    q = w0 * q0 + w1 * q1
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+@struct.dataclass
+class StepBaseRotRef:
+    """Base-orientation reference slerping between the planner's per-step
+    yaw rotations during swing windows
+    (reference mpc/mpc_periodic_configuration_ref.cpp:95-110: q_ref's
+    quaternion block = slerp(quat[phase], quat[phase+1], rate))."""
+    quat_steps: jnp.ndarray   # (K+1, 4) base quaternion after k steps
+    t_start: jnp.ndarray      # (K,) swing start times (sorted)
+    swing_time: jnp.ndarray   # scalar: active period
+    valid: jnp.ndarray        # (K,)
+
+    def __call__(self, t):
+        K = self.t_start.shape[0]
+        k = jnp.clip(jnp.searchsorted(self.t_start, t, side="right") - 1,
+                     0, K - 1)
+        tau = t - self.t_start[k]
+        rate = jnp.clip(tau / self.swing_time, 0.0, 1.0)
+        before_first = t < self.t_start[0]
+        q = _slerp(self.quat_steps[k], self.quat_steps[k + 1],
+                   jnp.where(self.valid[k] > 0, rate, 0.0))
+        return jnp.where(before_first, self.quat_steps[0], q), \
+            jnp.asarray(1.0, q.dtype)
+
+
 @struct.dataclass
 class StepCoMRef:
     """CoM reference interpolating planner step CoMs: lerp during each swing

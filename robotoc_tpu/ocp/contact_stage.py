@@ -89,13 +89,19 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     # ---- dynamics + contacts + cone: ONE fused kinematic chain ---------
     # (inverse dynamics residual, Baumgarte residual, friction-cone values
     # and all Jacobians from a single forward sweep + one 3nv-tangent
-    # jacfwd; models/contacts.py fused_stage_derivatives)
+    # jacfwd; models/contacts.py fused_stage_derivatives). Task-cost
+    # kinematics (feet + CoM rows) ride the SAME chain when the cost
+    # stack opts in (kin_frame_ids == the contact frames).
     f_eff = f * rowmask
     Sact = jnp.zeros((nu_dim, nv), dtype).at[:, nv - nu_dim:].set(
         jnp.eye(nu_dim, dtype=dtype))               # maps full->actuated
+    fold = cost_base.kin_fold_frames(costs) == contacts.frame_ids
+    out = ct.fused_stage_derivatives(
+        model, contacts, q, v, a, f_eff, fric, p_ref, R_ref,
+        with_task=fold)
     ((tau, C_raw, g_cone, dgdf), (dIDdq, dIDdv, M),
-     (dCdq, dCdv, J), dgdq) = ct.fused_stage_derivatives(
-        model, contacts, q, v, a, f_eff, fric, p_ref, R_ref)
+     (dCdq, dCdv, J), dgdq) = out[:4]
+    kin = (contacts.frame_ids,) + out[4] if fold else None
     ID_res = tau - Sact.T @ u
     C_res = C_raw * rowmask
     dCdq = dCdq * rowmask[:, None]
@@ -104,7 +110,7 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
 
     # ---- cost ----------------------------------------------------------
     quad = cost_base.quadratize_stage(costs, model, nf, q, v, a, u, f, t,
-                                      dt)
+                                      dt, kin=kin)
     c, lq_c, lv_c, la_c, lu_c, lf_c = (quad.cost, quad.lq, quad.lv,
                                        quad.la, quad.lu, quad.lf)
     Wq, Wv, Wa, Wu, Wf = quad.Qqq, quad.Qvv, quad.Qaa, quad.Quu, quad.Qff

@@ -50,9 +50,12 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     # ---- impulse dynamics + impact velocity + cone: fused chain --------
     lam_eff = lam * rowmask
     vpost = v + dv
+    fold = cost_base.kin_fold_frames(costs) == contacts.frame_ids
+    out = ct.fused_impact_derivatives(
+        model, contacts, q, dv, v, lam_eff, fric, with_task=fold)
     ((ID_res, C_raw, g_cone, dgdf), (dIDdq, M),
-     (dCdq, J), dgdq) = ct.fused_impact_derivatives(
-        model, contacts, q, dv, v, lam_eff, fric)
+     (dCdq, J), dgdq) = out[:4]
+    kin = (contacts.frame_ids,) + out[4] if fold else None
     C_res = C_raw * rowmask
     dCdq = dCdq * rowmask[:, None]
     J = J * rowmask[:, None]          # d/d(dv) = d/dv
@@ -60,7 +63,7 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     # ---- impact cost (only on slots carrying a REAL impact: unused
     # reserved slots must be pure identity pass-throughs) ----------------
     has_imp = jnp.max(imp_mask)
-    quad = cost_base.quadratize_impact(costs, model, q, v, dv, t)
+    quad = cost_base.quadratize_impact(costs, model, q, v, dv, t, kin=kin)
     c, lq_c, lv_c, ldv_c = (has_imp * quad.cost, has_imp * quad.lq,
                             has_imp * quad.lv, has_imp * quad.ldv)
     Wq, Wv, Wdv = (has_imp * quad.Qqq, has_imp * quad.Qvv,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from jax.scipy.linalg import cho_factor, cho_solve
+from ..ops.linalg import spd_inverse
 
 from ..constraints import joint_limits as jl
 from ..constraints import pdipm
@@ -233,12 +233,10 @@ def _update(model, cost, limits, dt, barrier, ftb, t0,
         H = jnp.block([[Qaa, Qaq, Qav],
                        [Qaq.T, Qqq, Qqv],
                        [Qav.T, Qqv.T, Qvv]])
-        cH = cho_factor(H)
-        Hi = cho_solve(cH, jnp.eye(3 * nv, dtype=dtype))
+        Hi = spd_inverse(H)
         FHi = F @ Hi                                   # (2nv, 3nv)
         S = FHi @ F.T
-        cS = cho_factor(S)
-        Si = cho_solve(cS, jnp.eye(2 * nv, dtype=dtype))
+        Si = spd_inverse(S)
         TR = Si @ FHi                                  # (2nv, 3nv)
         BR = Hi - FHi.T @ TR
         top = jnp.concatenate([-Si, TR], axis=1)

@@ -20,14 +20,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..core.structs import LQRData, LQRPolicy
+from ..ops.linalg import spd_inverse
 
 
 def _chol_solve(G, rhs):
-    c, lower = cho_factor(G)
-    return cho_solve((c, lower), rhs)
+    return spd_inverse(G) @ rhs
 
 
 def backward(data: LQRData) -> LQRPolicy:
@@ -52,23 +51,23 @@ def backward(data: LQRData) -> LQRPolicy:
         G = Quu + BtP @ B
         Pxr_p = P_next @ xres + p_next
         gu = lu + B.T @ Pxr_p
-        c, lower = cho_factor(G)
-        K = -cho_solve((c, lower), H.T)
-        k = -cho_solve((c, lower), gu)
+        Ginv = spd_inverse(G)
+        K = -(Ginv @ H.T)
+        k = -(Ginv @ gu)
         lxt = lx + A.T @ Pxr_p
         if constrained:
-            GiPhiuT = cho_solve((c, lower), Phiu.T)         # (nu, nf)
+            GiPhiuT = Ginv @ Phiu.T                         # (nu, nf)
             mm = sw[:, None] * sw[None, :]
             S = (Phiu @ GiPhiuT) * mm + jnp.diag(1.0 - sw)
-            cS, lS = cho_factor(S)
-            Mx = cho_solve((cS, lS), (Phiu @ K + Phix) * sw[:, None])
-            mx = cho_solve((cS, lS), (Phiu @ k + Pc) * sw)
+            Sinv = spd_inverse(S)
+            Mx = Sinv @ ((Phiu @ K + Phix) * sw[:, None])
+            mx = Sinv @ ((Phiu @ k + Pc) * sw)
             K = K - GiPhiuT @ Mx
             k = k - GiPhiuT @ mx
             P = F + H @ K + Phix.T @ Mx
             p = lxt + H @ k + Phix.T @ mx
             P = 0.5 * (P + P.T)
-            return (P, p), (P, p, K, k, Mx, mx, GiPhiuT, cS)
+            return (P, p), (P, p, K, k, Mx, mx, GiPhiuT, Sinv)
         P = F + H @ K
         P = 0.5 * (P + P.T)
         p = lxt + H @ k
@@ -140,8 +139,7 @@ def backward_vec(data: LQRData, P_all, lx_b, lu_b, xres_b, lxN_b):
         gu = lub + Pxr_p @ B                       # (R, nu)
         G = Quu + B.T @ P_next @ B
         H = Qxu + A.T @ P_next @ B
-        c, lower = cho_factor(G)
-        k = -cho_solve((c, lower), gu.T).T
+        k = -(gu @ spd_inverse(G))
         p = lxb + Pxr_p @ A + k @ H.T
         return p, (p, k)
 

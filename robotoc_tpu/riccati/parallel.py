@@ -31,7 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
+from ..ops.linalg import spd_inverse
 
 from ..core.structs import LQRData, LQRPolicy
 
@@ -79,10 +79,10 @@ def _combine(e2, e1):
 
 def _make_elements(data: LQRData):
     def one(A, B, c, Qxx, Qxu, Quu, lx, lu):
-        ch, lo = cho_factor(Quu)
-        Ui_Bt = cho_solve((ch, lo), jnp.swapaxes(B, -1, -2))   # Quu^-1 B^T
-        Ui_Mt = cho_solve((ch, lo), jnp.swapaxes(Qxu, -1, -2))
-        Ui_lu = cho_solve((ch, lo), lu)
+        Ui = spd_inverse(Quu)
+        Ui_Bt = Ui @ jnp.swapaxes(B, -1, -2)   # Quu^-1 B^T
+        Ui_Mt = Ui @ jnp.swapaxes(Qxu, -1, -2)
+        Ui_lu = Ui @ lu
         A_el = A - B @ Ui_Mt
         b_el = c - (B @ Ui_lu[..., None])[..., 0]
         C_el = B @ Ui_Bt
@@ -116,9 +116,9 @@ def backward(data: LQRData) -> LQRPolicy:
         H = Qxu + jnp.swapaxes(A, -1, -2) @ P_next @ B
         gu = lu + (jnp.swapaxes(B, -1, -2)
                    @ (P_next @ c[..., None] + p_next[..., None]))[..., 0]
-        ch, lo = cho_factor(G)
-        K = -cho_solve((ch, lo), jnp.swapaxes(H, -1, -2))
-        k = -cho_solve((ch, lo), gu)
+        Gi = spd_inverse(G)
+        K = -(Gi @ jnp.swapaxes(H, -1, -2))
+        k = -(Gi @ gu)
         return K, k
 
     K, k = jax.vmap(gains)(data.A, data.B, data.xres, data.Qxu, data.Quu,

@@ -36,14 +36,20 @@ class LeggedSimulator:
     def __init__(self, model: rm.RobotModel, contacts: ct.ContactModel,
                  sim_dt: float = 2e-4, ground_z: float = 0.0,
                  kp: float = 2e4, kd: float = 200.0, mu: float = 0.7,
-                 kt: float = 300.0):
+                 kt: float = 300.0, terrain=None):
+        """terrain: optional jnp-traceable height map z = terrain(x, y)
+        replacing the flat ground at ground_z (the TPU-native analog of
+        the reference's PyBullet heightfield terrain,
+        robotoc_sim/legged_simulator.py:16-54)."""
         self.model = model
         self.contacts = contacts
         self.sim_dt = float(sim_dt)
+        self.terrain = terrain
         self.params = (float(ground_z), float(kp), float(kd), float(mu),
                        float(kt))
         self._step = jax.jit(functools.partial(
-            _sim_step, model, contacts, self.sim_dt, *self.params))
+            _sim_step, model, contacts, self.sim_dt, *self.params,
+            terrain=terrain))
 
     def init(self, q, v, t=0.0) -> SimState:
         dtype = self.model.dtype
@@ -56,7 +62,8 @@ class LeggedSimulator:
         return state
 
 
-def _contact_forces(model, contacts, ground_z, kp, kd, mu, kt, q, v):
+def _contact_forces(model, contacts, ground_z, kp, kd, mu, kt, q, v,
+                    terrain=None):
     """Per-contact LOCAL frame force from the penalty ground model."""
     R_w, p_w = rm.forward_kinematics(model, q)
     vs = rm.joint_velocities(model, q, v)
@@ -70,11 +77,16 @@ def _contact_forces(model, contacts, ground_z, kp, kd, mu, kt, q, v):
         from ..ops.spatial import motion_transform_inv
         vf_local = motion_transform_inv(fR, fp, vs[..., par, :])
         v_world = (Rf @ vf_local[..., :3, None])[..., 0]
-        pen = ground_z - pf[..., 2]
+        gz = ground_z if terrain is None else terrain(pf[..., 0],
+                                                      pf[..., 1])
+        pen = gz - pf[..., 2]
         in_contact = pen > 0.0
+        # spring-damper normal force; the damper acts in BOTH directions
+        # while in contact (a one-sided damper leaves the rebound
+        # undamped — the standing robot then bounces elastically and the
+        # rigid-contact MPC pumps the oscillation)
         fn = jnp.where(in_contact,
-                       kp * pen + kd * jnp.maximum(-v_world[..., 2], 0.0),
-                       0.0)
+                       kp * pen - kd * v_world[..., 2], 0.0)
         fn = jnp.maximum(fn, 0.0)
         vt = v_world[..., :2]
         vt_norm = jnp.linalg.norm(vt, axis=-1) + 1e-8
@@ -88,10 +100,10 @@ def _contact_forces(model, contacts, ground_z, kp, kd, mu, kt, q, v):
 
 
 def _sim_step(model, contacts, dt, ground_z, kp, kd, mu, kt,
-              state: SimState, u):
+              state: SimState, u, terrain=None):
     q, v, t = state
     f_stack = _contact_forces(model, contacts, ground_z, kp, kd, mu, kt,
-                              q, v)
+                              q, v, terrain=terrain)
     f_joint = ct.contact_forces_to_joint(model, contacts, f_stack)
     tau = jnp.concatenate([jnp.zeros(model.dim_passive, q.dtype), u])
     # M a = tau + (contact forces) - h(q, v)

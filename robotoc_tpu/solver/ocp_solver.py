@@ -61,6 +61,20 @@ class SolverOptions:
     max_iter: int = struct.field(pytree_node=False, default=100)
     kkt_tol: float = struct.field(pytree_node=False, default=1e-7)
     barrier: float = struct.field(pytree_node=False, default=1e-3)
+    """Initial barrier parameter mu_init
+    (reference solver_options.hpp:38-40)."""
+    mu_min: float = struct.field(pytree_node=False, default=1e-3)
+    """Minimum barrier parameter; the default equals `barrier`, i.e. no
+    path-following (reference solver_options.hpp:42-46)."""
+    kkt_tol_mu: float = struct.field(pytree_node=False, default=1e-7)
+    """Perturbed-KKT tolerance that triggers a barrier decrease
+    (reference solver_options.hpp:48-52)."""
+    mu_linear_decrease_factor: float = struct.field(
+        pytree_node=False, default=0.2)
+    mu_superlinear_decrease_power: float = struct.field(
+        pytree_node=False, default=1.5)
+    """mu' = max(mu_min, min(mu * linear_factor, mu ** superlinear_power))
+    (reference solver_options.hpp:54-65)."""
     fraction_to_boundary_rule: float = struct.field(
         pytree_node=False, default=0.995)
     parallel_riccati: bool = struct.field(pytree_node=False, default=False)
@@ -110,6 +124,13 @@ class OCPSolver:
             options.fraction_to_boundary_rule, n_imp,
             riccati=global_lqr,
             enable_ls=options.enable_line_search, enable_sw=enable_sw))
+        # barrier-schedule variant: (kkt_tol, barrier) are call-time traced
+        # scalars so the mu path-following outer loop never recompiles
+        self._solve_mu = jax.jit(functools.partial(
+            _solve, model, contacts, self.limits, options.max_iter,
+            ftb=options.fraction_to_boundary_rule, n_imp=n_imp,
+            riccati=global_lqr,
+            enable_ls=options.enable_line_search, enable_sw=enable_sw))
         self._update = jax.jit(functools.partial(
             _update, model, contacts, self.limits,
             options.barrier, options.fraction_to_boundary_rule, n_imp,
@@ -128,12 +149,61 @@ class OCPSolver:
                                      f_init)
 
     def solve(self, grid: GridData, q_init, v_init,
-              sol: Optional[Solution] = None, costs=None):
+              sol: Optional[Solution] = None, costs=None,
+              statistics: bool = False):
+        """Full Newton solve. When options.mu_min < options.barrier, runs
+        barrier path-following: solve the perturbed KKT system to
+        kkt_tol_mu at each mu, decrease mu (linear/superlinear, reference
+        solver_options.hpp:38-65), re-initialize the PDIPM pairs at the
+        new mu, and finish at mu_min with kkt_tol. With the default
+        mu_min == barrier this is a single fixed-barrier solve.
+
+        statistics=True additionally returns a populated SolverStatistics
+        (per-iteration KKT/step-size history, barrier path, wall time)."""
+        import time as _time
+        from .statistics import SolverStatistics
         if sol is None:
             sol = self.init_solution(grid, q_init, v_init)
         q_init = jnp.asarray(q_init, self.model.dtype)
         v_init = jnp.asarray(v_init, self.model.dtype)
-        return self._solve(costs or self.costs, sol, grid, q_init, v_init)
+        costs = costs or self.costs
+        o = self.options
+        t0 = _time.perf_counter()
+        if o.mu_min >= o.barrier and not statistics:
+            return self._solve(costs, sol, grid, q_init, v_init)
+        stats = SolverStatistics()
+        mu = float(o.barrier)
+        total_iters = 0
+        while True:
+            last = mu <= o.mu_min * (1.0 + 1e-12)
+            tol = o.kkt_tol if last else max(o.kkt_tol_mu, o.kkt_tol)
+            sol, st = self._solve_mu(
+                jnp.asarray(tol, self.model.dtype),
+                jnp.asarray(mu, self.model.dtype),
+                costs=costs, sol=sol, grid=grid,
+                q_init=q_init, v_init=v_init)
+            total_iters += int(st["iterations"])
+            stats.kkt_error.extend(
+                [float(k) for k in st["kkt_history"]
+                 [:int(st["iterations"])]])
+            stats.primal_step_size.extend(
+                [float(a) for a in st["step_size_history"]
+                 [:int(st["iterations"])]])
+            stats.barrier.append(mu)
+            if last or bool(st["numerical_failure"]):
+                break
+            mu = max(o.mu_min, min(mu * o.mu_linear_decrease_factor,
+                                   mu ** o.mu_superlinear_decrease_power))
+            sol = reinit_constraints(self.model, self.contacts,
+                                     self.limits, mu, grid, sol)
+        stats.convergence = bool(st["convergence"])
+        stats.iter = total_iters
+        stats.cpu_time = (_time.perf_counter() - t0) * 1e3
+        st = dict(st)
+        st["iterations"] = total_iters
+        if statistics:
+            return sol, st, stats
+        return sol, st
 
     def update(self, grid: GridData, q_init, v_init, sol: Solution,
                costs=None):
@@ -621,11 +691,11 @@ def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
     use_filter = enable_ls == "filter"
 
     def cond(state):
-        _, _, it, kkt, _, ok, _ = state
+        _, _, it, kkt, _, ok, _, _, _ = state
         return (it < max_iter) & (kkt > kkt_tol) & ok
 
     def body(state):
-        s, built, it, kkt, _, ok, filt = state
+        s, built, it, kkt, _, ok, filt, kkt_h, alpha_h = state
         out = _direction_and_step(
             model, contacts, limits, barrier, ftb, n_imp, costs, s, grid,
             q_init, v_init, built, riccati=riccati, enable_ls=enable_ls,
@@ -639,20 +709,57 @@ def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
         # on numerical failure keep the last good iterate
         new = jax.tree.map(
             lambda a, b: jnp.where(ok_new, a, b), new, s)
-        return (new, built_new, it + 1,
-                jnp.where(ok_new, kkt_new, kkt), alpha, ok_new, filt)
+        kkt_kept = jnp.where(ok_new, kkt_new, kkt)
+        return (new, built_new, it + 1, kkt_kept, alpha, ok_new, filt,
+                kkt_h.at[it].set(kkt_kept), alpha_h.at[it].set(alpha))
 
     built0 = do_build(sol)
     kkt0 = jnp.sqrt(built0[3])
     one = jnp.asarray(1.0, sol.q.dtype)
     filt0 = lsmod.empty_filter(sol.q.dtype)
-    sol, _, iters, kkt, alpha, ok, _ = jax.lax.while_loop(
+    nan_h = jnp.full((max_iter,), jnp.nan, sol.q.dtype)
+    sol, _, iters, kkt, alpha, ok, _, kkt_h, alpha_h = jax.lax.while_loop(
         cond, body, (sol, built0, jnp.asarray(0), kkt0, one,
-                     jnp.isfinite(kkt0), filt0))
+                     jnp.isfinite(kkt0), filt0, nan_h, nan_h))
     return sol, dict(iterations=iters, kkt_error=kkt,
                      last_step_size=alpha,
                      convergence=(kkt <= kkt_tol) & ok,
-                     numerical_failure=~ok)
+                     numerical_failure=~ok,
+                     kkt_history=kkt_h, step_size_history=alpha_h)
+
+
+@functools.partial(jax.jit, static_argnames=("with_model",))
+def _align_gather(model, sol: Solution, i0, i1, w, i0s, i1s,
+                  with_model=True) -> Solution:
+    """Device part of align_solution: gathers + one lerp (+ manifold
+    interpolation for q), jitted so the per-update host cost is just the
+    index computation (round-2 review item #6: the eager per-op dispatch
+    here was ~300 ms per MPC update on a busy host)."""
+    wf = w[:, None]
+    ws = wf[:-1]
+
+    def lin_full(x):
+        return (1.0 - wf) * jnp.take(x, i0, axis=0) \
+            + wf * jnp.take(x, i1, axis=0)
+
+    def lin_stage(x):
+        return (1.0 - ws) * jnp.take(x, i0s, axis=0) \
+            + ws * jnp.take(x, i1s, axis=0)
+
+    if with_model:
+        q0 = jnp.take(sol.q, i0, axis=0)
+        q1 = jnp.take(sol.q, i1, axis=0)
+        q_new = jax.vmap(lambda a, b, t: rm.interpolate(model, a, b, t))(
+            q0, q1, w)
+    else:
+        q_new = lin_full(sol.q)
+    return Solution(
+        q=q_new, v=lin_full(sol.v), a=lin_full(sol.a), u=lin_full(sol.u),
+        f=lin_full(sol.f), lmd=lin_full(sol.lmd), gmm=lin_full(sol.gmm),
+        beta=lin_full(sol.beta), mu=lin_full(sol.mu),
+        s_lim=lin_stage(sol.s_lim), z_lim=lin_stage(sol.z_lim),
+        s_cone=lin_stage(sol.s_cone), z_cone=lin_stage(sol.z_cone),
+        xi=lin_full(sol.xi))
 
 
 def align_solution(sol: Solution, old_grid: GridData,
@@ -692,32 +799,9 @@ def align_solution(sol: Solution, old_grid: GridData,
             dtab = t_old[b] - t_old[a]
             w[i] = 0.0 if dtab <= 1e-12 else np.clip(
                 (t_new[i] - t_old[a]) / dtab, 0.0, 1.0)
-    i0 = jnp.asarray(idx0)
-    i1 = jnp.asarray(idx1)
-    i0s = jnp.asarray(np.minimum(idx0[:-1], S_old - 2))
-    i1s = jnp.asarray(np.minimum(idx1[:-1], S_old - 2))
-    wf = jnp.asarray(w, sol.q.dtype)[:, None]
-    ws = wf[:-1]
-
-    def lin_full(x):
-        return (1.0 - wf) * jnp.take(x, i0, axis=0) \
-            + wf * jnp.take(x, i1, axis=0)
-
-    def lin_stage(x):
-        return (1.0 - ws) * jnp.take(x, i0s, axis=0) \
-            + ws * jnp.take(x, i1s, axis=0)
-
-    if model is not None:
-        q0 = jnp.take(sol.q, i0, axis=0)
-        q1 = jnp.take(sol.q, i1, axis=0)
-        q_new = jax.vmap(lambda a, b, t: rm.interpolate(model, a, b, t))(
-            q0, q1, wf[:, 0])
-    else:
-        q_new = lin_full(sol.q)
-    return Solution(
-        q=q_new, v=lin_full(sol.v), a=lin_full(sol.a), u=lin_full(sol.u),
-        f=lin_full(sol.f), lmd=lin_full(sol.lmd), gmm=lin_full(sol.gmm),
-        beta=lin_full(sol.beta), mu=lin_full(sol.mu),
-        s_lim=lin_stage(sol.s_lim), z_lim=lin_stage(sol.z_lim),
-        s_cone=lin_stage(sol.s_cone), z_cone=lin_stage(sol.z_cone),
-        xi=lin_full(sol.xi))
+    return _align_gather(
+        model, sol, jnp.asarray(idx0), jnp.asarray(idx1),
+        jnp.asarray(w, sol.q.dtype),
+        jnp.asarray(np.minimum(idx0[:-1], S_old - 2)),
+        jnp.asarray(np.minimum(idx1[:-1], S_old - 2)),
+        with_model=model is not None)

@@ -22,6 +22,9 @@ class SolverStatistics:
     ts: List[np.ndarray] = dataclasses.field(default_factory=list)
     mesh_refinement_iter: List[int] = dataclasses.field(
         default_factory=list)
+    barrier: List[float] = dataclasses.field(default_factory=list)
+    """Barrier parameter path (one entry per mu stage when the solver runs
+    the path-following schedule)."""
     cpu_time: float = 0.0   # ms, when benchmarking enabled
 
     def __str__(self):

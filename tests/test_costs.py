@@ -107,3 +107,42 @@ def test_rotation_utils():
     Rz = rot.project_rotation_matrix_z(R)
     assert np.allclose(np.asarray(Rz @ Rz.T), np.eye(3), atol=1e-12)
     assert float(Rz[2, 2]) == pytest.approx(1.0)
+
+
+def test_base_rotation_cost_derivatives(anymal):
+    """BaseRotationCost (time-varying quaternion ref) vs FD — the gait
+    MPC's base-rot component (reference mpc_trot.cpp:55-60 +
+    mpc_periodic_configuration_ref.cpp)."""
+    from robotoc_tpu.costs.task_cost import BaseRotationCost
+    from robotoc_tpu.mpc.refs import StepBaseRotRef
+    from robotoc_tpu.ops import lie
+
+    m = anymal
+    q, v, a, u, f = _rand_state(m, seed=3)
+    yaw = 0.3
+    quats = jnp.stack([
+        jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+        jnp.asarray([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)]),
+        jnp.asarray([0.0, 0.0, np.sin(yaw), np.cos(yaw)]),
+    ])
+    ref = StepBaseRotRef(quat_steps=quats,
+                         t_start=jnp.asarray([0.1, 0.5]),
+                         swing_time=jnp.asarray(0.25),
+                         valid=jnp.ones(2))
+    cost = BaseRotationCost(weight=jnp.full(3, 2.0),
+                            weight_terminal=jnp.full(3, 3.0),
+                            weight_impact=jnp.full(3, 1.0), ref=ref)
+    chk = DerivativeChecker(m)
+    for t in (0.05, 0.2, 0.45, 0.6):
+        assert chk.check_first_order_stage(cost, 12, q, v, a, u, f, t, 0.02)
+        assert chk.check_first_order_terminal(cost, q, v, t)
+        assert chk.check_first_order_impact(cost, q, v, a, t)
+    # slerp endpoints: before the first step the ref is quat_steps[0]
+    qr, act = ref(0.0)
+    np.testing.assert_allclose(np.asarray(qr), np.asarray(quats[0]),
+                               atol=1e-12)
+    # mid-swing of step 0: halfway between quats[0] (0) and quats[1] (yaw)
+    qr, _ = ref(0.1 + 0.125)
+    Rh = lie.quat_to_rot(qr)
+    ang = np.asarray(lie.so3_log(Rh))
+    np.testing.assert_allclose(ang[2], yaw / 2, atol=1e-9)

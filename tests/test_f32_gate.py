@@ -1,0 +1,74 @@
+"""f32 quality gate (VERDICT round-2 item #4 / weak #3).
+
+The product runs f32 on TPU (bench.py, matmul precision `highest`) while
+the unit suite validates numerics in f64 — this test closes the gap: the
+trot-MPC update loop in PURE f32 (x64 disabled, like the TPU path) must
+keep its per-step KKT trace at MPC-grade tolerance and within a constant
+factor of the f64 trace.
+
+Runs in a subprocess because jax_enable_x64 is process-global (the suite
+conftest forces x64 on).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+SCRIPT = r"""
+import os, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", __X64__)
+jax.config.update("jax_default_matmul_precision", "highest")
+cache = os.path.expanduser("~/.cache/robotoc_tpu_xla_tests")
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+import jax.numpy as jnp
+import numpy as np
+from robotoc_tpu.models import load_robot
+from robotoc_tpu.mpc.mpc_trot import MPCTrot
+
+dtype = jnp.float64 if __X64__ else jnp.float32
+m = load_robot("anymal", dtype=dtype)
+mpc = MPCTrot(m, T=0.5, N=10)
+planner = mpc.make_planner()
+planner.set_gait_pattern(np.array([0.15, 0.0, 0.0]), 0.0)
+mpc.set_gait_pattern(planner, swing_height=0.1, swing_time=0.25,
+                     stance_time=0.0, swing_start_time=0.5)
+q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                  -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0], dtype)
+v = jnp.zeros(18, dtype)
+mpc.init(0.0, q0, v, num_iters=10)
+kkts = []
+t = 0.0
+q = q0
+for k in range(12):
+    kkt = mpc.update_solution(t, 0.0025, q, v)
+    kkts.append(float(kkt))
+    t += 0.0025
+print(json.dumps({"kkt": kkts}))
+"""
+
+
+def _run(x64: bool):
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", SCRIPT.replace("__X64__", str(x64))],
+        capture_output=True, text=True, env=env, timeout=560)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return np.asarray(json.loads(line)["kkt"])
+
+
+def test_f32_mpc_kkt_trace_matches_f64():
+    kkt32 = _run(False)
+    kkt64 = _run(True)
+    assert np.all(np.isfinite(kkt32))
+    # MPC-grade tolerance: the warm-started trace stays small in f32
+    assert np.max(kkt32) < 1.0, kkt32
+    # and tracks the f64 trace within a constant factor + an f32 floor
+    med32, med64 = np.median(kkt32), np.median(kkt64)
+    assert med32 < 10.0 * med64 + 1e-2, (med32, med64)

@@ -103,10 +103,64 @@ def _make_elements(data: LQRData):
                         elems, term)
 
 
+def _null_space_transform(data: LQRData):
+    """EXACT elimination of the pure-state switching constraint
+    Phix dx + Phiu du + Pc = 0 (masked rows sw) by reparameterizing the
+    control as  du = D dx + d + Pn w  with
+        Pinv = Phiu_m^T Sphi^{-1},  Sphi = Phiu_m Phiu_m^T + diag(1-sw),
+        D = -Pinv Phix,  d = -Pinv Pc,  Pn = I - Pinv Phiu_m  (projector).
+    The stage becomes an ORDINARY LQR stage over (dx, w) — so the
+    associative-scan combiner needs no constrained branch at all (the
+    reference's serial constrained factorization is
+    riccati_factorizer.cpp:58-89; here the constraint is folded into the
+    element). On unconstrained stages sw == 0 makes the transform the
+    identity. The singular directions of Pn Quu Pn get a unit diagonal
+    (they never couple: B' and Qxu' carry the Pn factor)."""
+
+    def one(A, B, c, Qxx, Qxu, Quu, lx, lu, Phix, Phiu, Pc, sw):
+        nu = Quu.shape[-1]
+        eye_u = jnp.eye(nu, dtype=Quu.dtype)
+        Phiu_m = Phiu * sw[:, None]
+        Phix_m = Phix * sw[:, None]
+        Pc_m = Pc * sw
+        Sphi = Phiu_m @ Phiu_m.T + jnp.diag(1.0 - sw)
+        Pinv = Phiu_m.T @ spd_inverse(Sphi)          # (nu, nf)
+        D = -(Pinv @ Phix_m)                         # (nu, nx)
+        d = -(Pinv @ Pc_m)
+        Pn = eye_u - Pinv @ Phiu_m
+        Pn = 0.5 * (Pn + Pn.T)
+        QuuD = Quu @ D
+        A2 = A + B @ D
+        b2 = c + (B @ d[..., None])[..., 0]
+        B2 = B @ Pn
+        Qxx2 = Qxx + D.T @ Qxu.T + Qxu @ D + D.T @ QuuD
+        Qxx2 = 0.5 * (Qxx2 + Qxx2.T)
+        Qxu2 = (Qxu + D.T @ Quu) @ Pn
+        Quu2 = Pn @ Quu @ Pn + (eye_u - Pn)
+        Quu2 = 0.5 * (Quu2 + Quu2.T)
+        lx2 = lx + D.T @ lu + (Qxu + D.T @ Quu) @ d
+        lu2 = Pn @ (lu + Quu @ d)
+        return A2, b2, B2, Qxx2, Qxu2, Quu2, lx2, lu2, D, d, Pn
+
+    (A2, b2, B2, Qxx2, Qxu2, Quu2, lx2, lu2, D, d, Pn) = jax.vmap(one)(
+        data.A, data.B, data.xres, data.Qxx, data.Qxu, data.Quu,
+        data.lx, data.lu, data.Phix, data.Phiu, data.Pc, data.sw)
+    tdata = LQRData(A=A2, B=B2, xres=b2, Qxx=Qxx2, Qxu=Qxu2, Quu=Quu2,
+                    lx=lx2, lu=lu2, Qxx_N=data.Qxx_N, lx_N=data.lx_N)
+    return tdata, D, d, Pn
+
+
 def backward(data: LQRData) -> LQRPolicy:
     """All value functions via one reverse associative scan, then batched
-    gain computation."""
-    elems = _make_elements(data)
+    gain computation. Switching-constraint rows (Phix/Phiu/Pc/sw) are
+    folded into the elements by the exact null-space transform — the
+    scan itself is unchanged."""
+    constrained = data.Phix is not None
+    if constrained:
+        tdata, D, d, Pn = _null_space_transform(data)
+    else:
+        tdata = data
+    elems = _make_elements(tdata)
     scanned = jax.lax.associative_scan(_combine, elems, reverse=True)
     P = scanned.J                       # (N+1, nx, nx)
     p = -scanned.eta                    # (N+1, nx)
@@ -121,9 +175,35 @@ def backward(data: LQRData) -> LQRPolicy:
         k = -(Gi @ gu)
         return K, k
 
-    K, k = jax.vmap(gains)(data.A, data.B, data.xres, data.Qxu, data.Quu,
-                           data.lu, P[1:], p[1:])
-    return LQRPolicy(K=K, k=k, P=P, p=p)
+    K, k = jax.vmap(gains)(tdata.A, tdata.B, tdata.xres, tdata.Qxu,
+                           tdata.Quu, tdata.lu, P[1:], p[1:])
+    if not constrained:
+        return LQRPolicy(K=K, k=k, P=P, p=p)
+    # effective gains in the ORIGINAL control space: du = D dx + d + Pn w
+    K_eff = D + Pn @ K
+    k_eff = d + (Pn @ k[..., None])[..., 0]
+
+    # multiplier factorization (same convention as the serial branch:
+    # Mx dx + mx is the Newton DELTA on xi): from the du-stationarity
+    #   G du + H^T dx + gu + Phiu_m^T xi = 0  with the ORIGINAL blocks.
+    def multipliers(A, B, c, Qxu, Quu, lu, Phiu, sw, P_next, p_next,
+                    Ke, ke):
+        Phiu_m = Phiu * sw[:, None]
+        Sphi = Phiu_m @ Phiu_m.T + jnp.diag(1.0 - sw)
+        Sphi_i = spd_inverse(Sphi)
+        G = Quu + B.T @ P_next @ B
+        Ht = Qxu.T + B.T @ P_next @ A
+        gu = lu + B.T @ (P_next @ c + p_next)
+        Mcoef = G @ Ke + Ht                          # (nu, nx)
+        mvec = G @ ke + gu
+        Mx = -(Sphi_i @ (Phiu_m @ Mcoef)) * sw[:, None]
+        mx = -(Sphi_i @ (Phiu_m @ mvec)) * sw
+        return Mx, mx
+
+    Mx, mx = jax.vmap(multipliers)(
+        data.A, data.B, data.xres, data.Qxu, data.Quu, data.lu,
+        data.Phiu, data.sw, P[1:], p[1:], K_eff, k_eff)
+    return LQRPolicy(K=K_eff, k=k_eff, P=P, p=p, Mx=Mx, mx=mx)
 
 
 def forward(data: LQRData, policy: LQRPolicy, dx0):

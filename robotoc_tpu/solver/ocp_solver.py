@@ -109,11 +109,10 @@ class OCPSolver:
         self.options = options
         n_imp = self.n_reserved_events
         enable_sw = bool(options.switching_constraints) and n_imp > 0
-        if enable_sw and options.parallel_riccati:
-            raise ValueError(
-                "switching_constraints require the serial-scan Riccati "
-                "(the associative-scan combiner has no constrained branch "
-                "yet); set parallel_riccati=False")
+        # both Riccati backends support the switching constraint: the
+        # serial scan via the constrained Schur branch (riccati/lqr.py),
+        # the associative scan via the exact null-space element transform
+        # (riccati/parallel.py _null_space_transform)
         global_lqr = plqr if options.parallel_riccati else lqr
         self._lqr = global_lqr
         # `costs` is a call-time pytree argument: the MPC layer swaps

@@ -61,3 +61,46 @@ def test_serial_solves_kkt():
         np.testing.assert_allclose(rx, 0.0, atol=1e-8)
     rN = data.Qxx_N @ dx[N] + data.lx_N - dlmd[N]
     np.testing.assert_allclose(rN, 0.0, atol=1e-8)
+
+
+def random_constrained_lqr(key, N=12, nx=8, nu=4, nf=3):
+    """Random LQR data with a pure-state/control equality constraint
+    (masked rows) on a few interior stages."""
+    data, dx0 = random_lqr(key, N=N, nx=nx, nu=nu)
+    ks = jax.random.split(jax.random.fold_in(key, 99), 4)
+    Phix = jax.random.normal(ks[0], (N, nf, nx))
+    Phiu = jax.random.normal(ks[1], (N, nf, nu))
+    Pc = jax.random.normal(ks[2], (N, nf))
+    sw = jnp.zeros((N, nf))
+    # stage 3: all rows active; stage 7: partial rows
+    sw = sw.at[3, :].set(1.0).at[7, :2].set(1.0)
+    data = data.replace(Phix=Phix * sw[..., None],
+                         Phiu=Phiu * sw[..., None],
+                         Pc=Pc * sw, sw=sw)
+    return data, dx0
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_constrained_parallel_matches_serial(seed):
+    """Null-space element transform (parallel.py) vs the serial
+    constrained Schur branch (reference riccati_factorizer.cpp:58-89):
+    same directions, value function, gains and multipliers."""
+    data, dx0 = random_constrained_lqr(jax.random.PRNGKey(seed))
+    dx_s, du_s, dl_s, pol_s = lqr.solve(data, dx0)
+    dx_p, du_p, dl_p, pol_p = parallel.solve(data, dx0)
+    np.testing.assert_allclose(dx_p, dx_s, atol=1e-7)
+    np.testing.assert_allclose(du_p, du_s, atol=1e-7)
+    np.testing.assert_allclose(dl_p, dl_s, atol=1e-7)
+    np.testing.assert_allclose(pol_p.P, pol_s.P, atol=1e-7, rtol=1e-7)
+    np.testing.assert_allclose(pol_p.K, pol_s.K, atol=1e-7)
+    # multiplier factorization agrees on ACTIVE rows
+    dxi_s = (jnp.einsum("kfx,kx->kf", pol_s.Mx, dx_s[:-1])
+             + pol_s.mx) * data.sw
+    dxi_p = (jnp.einsum("kfx,kx->kf", pol_p.Mx, dx_p[:-1])
+             + pol_p.mx) * data.sw
+    np.testing.assert_allclose(dxi_p, dxi_s, atol=1e-7)
+    # and the constraint holds at the constrained stages
+    for i in (3, 7):
+        r = (data.Phix[i] @ dx_p[i] + data.Phiu[i] @ du_p[i]
+             + data.Pc[i]) * data.sw[i]
+        np.testing.assert_allclose(r, 0.0, atol=1e-8)

@@ -196,3 +196,50 @@ def test_jump_with_switching_constraints():
             frame_placement(m, m.frame_id(f), Rw2, pw2)[1])
         np.testing.assert_allclose(p_foot, plc_land[c], atol=2e-2,
                                    err_msg=f"landing placement {f}")
+
+
+def test_jump_switching_parallel_riccati_matches_serial():
+    """The associative-scan backend's null-space constrained branch solves
+    the REAL constrained jump problem: one Newton update must match the
+    serial-scan update to solver precision (round-2 review item #2:
+    parallel Riccati previously raised on constrained problems)."""
+    from robotoc_tpu.constraints.joint_limits import make_joint_limits
+    from robotoc_tpu.costs.config_cost import make_config_cost
+    from robotoc_tpu.planner.contact_sequence import (ContactSchedule,
+                                                      discretize)
+    from robotoc_tpu.riccati import parallel as plqr
+    from robotoc_tpu.solver import ocp_solver as OS
+
+    m = load_robot("anymal")
+    contacts = make_contacts(m, FEET, baumgarte_time_step=0.05)
+    qw = jnp.array([1.0, 0, 0, 1.0, 1.0, 1.0] + [0.001] * 12)
+    cost = make_config_cost(
+        m, q_ref=Q0, q_weight=qw, v_weight=jnp.full(18, 1.0),
+        a_weight=1e-6, u_weight=1e-2, q_weight_terminal=qw,
+        v_weight_terminal=jnp.full(18, 1.0))
+    lim = make_joint_limits(m, u_limit=jnp.full(12, 80.0),
+                            v_limit=jnp.full(12, 15.0))
+    Rw, pw = forward_kinematics(m, Q0)
+    plc = np.stack(
+        [np.asarray(frame_placement(m, m.frame_id(f), Rw, pw)[1])
+         for f in FEET])
+    plc_land = plc + np.array([0.10, 0.0, 0.0])
+    sched = ContactSchedule(nc=4).init([True] * 4, plc)
+    sched.push_back([False] * 4, plc, 0.30)
+    sched.push_back([True] * 4, plc_land, 0.55)
+    grid = discretize(sched, 0.0, 0.85, 10, n_reserved=1)
+    v0 = jnp.zeros(18)
+    sol = OS.make_initial_solution(m, contacts, lim, 1e-3, grid, Q0, v0)
+    sol_s, kkt_s, a_s, pol_s = jax.jit(functools.partial(
+        OS._update, m, contacts, lim, 1e-3, 0.995, 1, (cost,),
+        enable_sw=True))(sol, grid, Q0, v0)
+    sol_p, kkt_p, a_p, pol_p = jax.jit(functools.partial(
+        OS._update, m, contacts, lim, 1e-3, 0.995, 1, (cost,),
+        riccati=plqr, enable_sw=True))(sol, grid, Q0, v0)
+    np.testing.assert_allclose(float(kkt_p), float(kkt_s), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_p.q), np.asarray(sol_s.q),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_p.u), np.asarray(sol_s.u),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sol_p.xi), np.asarray(sol_s.xi),
+                               atol=1e-7)

@@ -73,13 +73,14 @@ class StageBlocks(NamedTuple):
     dual_feas: jnp.ndarray
 
 
-def stage_eval(model, contacts, costs, limits, t, dt, barrier,
-               q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
-               q_n, v_n, s_lim, z_lim, s_cone, z_cone,
-               cmask, p_ref, fric, R_ref=None):
-    """One intermediate grid. costs: tuple of cost components
-    (costs/base.py); cmask: (nc,) activity; p_ref: (nc, 3);
-    R_ref: (nc, 3, 3) surface-contact rotation refs (None = identity)."""
+def stage_pre(model, contacts, costs, limits, t, dt, barrier,
+              q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
+              q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+              cmask, p_ref, fric, R_ref=None):
+    """Everything BEFORE the dense condensing: fused kinematic chain
+    derivatives, cost quadratization, PDIPM condensing vectors, state
+    equation, full-KKT diagnostics. Returns the condense-kernel input
+    dict (ops/pallas_condense._IN_SPECS) plus aux fields ("aux_*")."""
     nv, nu_dim = model.nv, model.dimu
     nf = contacts.max_dimf
     dtype = q.dtype
@@ -125,65 +126,20 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     zr = jnp.where(cone_mask, z_cone, 0.0) + r_cone
     cone_gq = dgdq.T @ zr
     cone_gf = dgdf.T @ zr
-    cone_Hqq = dgdq.T @ (d_cone[:, None] * dgdq)
-    cone_Hqf = dgdq.T @ (d_cone[:, None] * dgdf)
-    cone_Hff = dgdf.T @ (d_cone[:, None] * dgdf)
 
     # ---- state equation (Lie-corrected) --------------------------------
     Aqq, Aqv, xres_q = se.linearize(model, q, v, dt, q_n)
     Fv_res = v + dt * a - v_n
 
-    # ---- contact-dynamics condensing -----------------------------------
-    inactive = 1.0 - rowmask
-    inv11, inv12, Sinv = mjtj_inverse(M, J, inactive)
-    # T_w columns: rhs1 = [dIDdq | dIDdv | -Sact^T], rhs2 = [dCdq|dCdv|0]
-    # (rhs2 inactive rows irrelevant: already zeroed).
+    # ---- condense-kernel inputs ----------------------------------------
     Tw1 = jnp.concatenate([dIDdq, dIDdv, -Sact.T], axis=1)  # (nv, w)
     Tw2 = jnp.concatenate([dCdq, dCdv, jnp.zeros((nf, nu_dim), dtype)],
                           axis=1)
-    X1, X2 = ty_solve(inv11, inv12, Sinv, Tw1, Tw2)
-    # y = (da, df): da = -X1 w - x1_0 ; nu = -df: df = +(X2 w + x2_0)
     e2 = jnp.where(rowmask > 0, C_res, f)   # rhs2_0: active C_res, else f
-    x1_0, x2_0 = ty_solve(inv11, inv12, Sinv, ID_res, e2)
-    G = jnp.concatenate([-X1, X2], axis=0)            # (nv+nf, w)
-    c0 = jnp.concatenate([-x1_0, x2_0], axis=0)
-
-    # ---- condensed quadratic over w = (dq, dv, du) ---------------------
-    w_dim = 2 * nv + nu_dim
-    Hw = jnp.zeros((w_dim, w_dim), dtype)
-    Hw = Hw.at[:nv, :nv].set(Wq + jnp.diag(Hq_d) + cone_Hqq)
-    Hw = Hw.at[nv:2 * nv, nv:2 * nv].set(Wv + jnp.diag(Hv_d))
-    Hw = Hw.at[2 * nv:, 2 * nv:].set(Wu + jnp.diag(Hu_d))
     gw = jnp.concatenate([lq_c + zq + gq_cd + cone_gq,
                           lv_c + zv + gv_cd,
                           lu_c + zu + gu_cd])
-    Hy = jnp.zeros((nv + nf, nv + nf), dtype)
-    Hy = Hy.at[:nv, :nv].set(Wa + jnp.diag(Ha_d))
-    Hy = Hy.at[nv:, nv:].set(Wf + cone_Hff)
     gy = jnp.concatenate([la_c + za + ga_cd, lf_c + cone_gf])
-    Cwy = jnp.zeros((w_dim, nv + nf), dtype)
-    Cwy = Cwy.at[:nv, nv:].set(cone_Hqf)
-
-    Htil = Hw + Cwy @ G + G.T @ Cwy.T + G.T @ Hy @ G
-    gtil = gw + Cwy @ c0 + G.T @ (Hy @ c0 + gy)
-
-    # ---- LQR blocks ----------------------------------------------------
-    da_dw, da_0 = -X1, -x1_0
-    A = jnp.zeros((2 * nv, 2 * nv), dtype)
-    A = A.at[:nv, :nv].set(Aqq).at[:nv, nv:].set(Aqv)
-    A = A.at[nv:, :nv].set(dt * da_dw[:, :nv])
-    A = A.at[nv:, nv:].set(jnp.eye(nv, dtype=dtype)
-                           + dt * da_dw[:, nv:2 * nv])
-    B = jnp.concatenate([jnp.zeros((nv, nu_dim), dtype),
-                         dt * da_dw[:, 2 * nv:]], axis=0)
-    xres = jnp.concatenate([xres_q, Fv_res + dt * da_0])
-    Qxx = Htil[:2 * nv, :2 * nv]
-    Qxu = Htil[:2 * nv, 2 * nv:]
-    Quu = Htil[2 * nv:, 2 * nv:]
-    lam = jnp.concatenate([lmd_n, gmm_n])
-    lx = (gtil[:2 * nv] + A.T @ lam
-          - jnp.concatenate([lmd, gmm]))
-    lu = gtil[2 * nv:] + B.T @ lam
 
     # ---- full KKT residuals (diagnostics, current duals) ---------------
     lq_full = (lq_c + zq + dgdq.T @ jnp.where(cone_mask, z_cone, 0.0)
@@ -213,13 +169,117 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
             + jnp.sum(jnp.abs(r_lim)) + jnp.sum(jnp.abs(r_cone_p)))
     dual = jnp.sum(jnp.abs(c_lim)) + jnp.sum(jnp.abs(c_cone))
 
-    return StageBlocks(A=A, B=B, xres=xres, Qxx=Qxx, Qxu=Qxu, Quu=Quu,
-                       lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
-                       Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
-                       e_lim=e_lim, e_cone=g_cone, dgdq=dgdq, dgdf=dgdf,
-                       lq_full=lq_full, lv_full=lv_full, la_full=la_full,
-                       kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
-                       prim_feas=prim, dual_feas=dual)
+    return dict(
+        # condense-kernel inputs (ops/pallas_condense._IN_SPECS order)
+        M=M, J=J, inactive=1.0 - rowmask, Tw1=Tw1, Tw2=Tw2,
+        r1=ID_res, e2=e2,
+        Wq=Wq, Wv=Wv, Wu=Wu, Wa=Wa, Wf=Wf,
+        Hq_d=Hq_d, Hv_d=Hv_d, Hu_d=Hu_d, Ha_d=Ha_d,
+        dgdq=dgdq, dgdf=dgdf, d_cone=d_cone, gw=gw, gy=gy,
+        Aqq=Aqq, Aqv=Aqv, xres_q=xres_q, Fv_res=Fv_res,
+        sA=dt, lam2=jnp.concatenate([lmd_n, gmm_n]),
+        lmdgmm=jnp.concatenate([lmd, gmm]),
+        # aux (pass-through to StageBlocks)
+        aux_e_lim=e_lim, aux_e_cone=g_cone,
+        aux_lq_full=lq_full, aux_lv_full=lv_full, aux_la_full=la_full,
+        aux_kkt_sq=kkt_sq, aux_cost=c, aux_barrier_cost=barrier_cost,
+        aux_prim=prim, aux_dual=dual)
+
+
+def condense_jax(nv, nu_dim, nf, pre):
+    """Single-sample JAX condensing, identical math to the Pallas kernels
+    (ops/pallas_condense) — the CPU/test path and the numerical oracle."""
+    dtype = pre["M"].dtype
+    inv11, inv12, Sinv = mjtj_inverse(pre["M"], pre["J"], pre["inactive"])
+    X1, X2 = ty_solve(inv11, inv12, Sinv, pre["Tw1"], pre["Tw2"])
+    x1_0, x2_0 = ty_solve(inv11, inv12, Sinv, pre["r1"], pre["e2"])
+    # y = (da, df): da = -X1 w - x1_0 ; df = +(X2 w + x2_0)
+    G = jnp.concatenate([-X1, X2], axis=0)            # (nv+nf, w)
+    c0 = jnp.concatenate([-x1_0, x2_0], axis=0)
+
+    dgdq, dgdf, d_cone = pre["dgdq"], pre["dgdf"], pre["d_cone"]
+    cone_Hqq = dgdq.T @ (d_cone[:, None] * dgdq)
+    cone_Hqf = dgdq.T @ (d_cone[:, None] * dgdf)
+    cone_Hff = dgdf.T @ (d_cone[:, None] * dgdf)
+    Hq_blk = pre["Wq"] + jnp.diag(pre["Hq_d"]) + cone_Hqq
+    Hv_blk = pre["Wv"] + jnp.diag(pre["Hv_d"])
+    Hu_blk = pre["Wu"] + jnp.diag(pre["Hu_d"])
+    Ha_blk = pre["Wa"] + jnp.diag(pre["Ha_d"])
+    Hf_blk = pre["Wf"] + cone_Hff
+
+    w_dim = 2 * nv + nu_dim
+    Hw = jnp.zeros((w_dim, w_dim), dtype)
+    Hw = Hw.at[:nv, :nv].set(Hq_blk)
+    Hw = Hw.at[nv:2 * nv, nv:2 * nv].set(Hv_blk)
+    Hw = Hw.at[2 * nv:, 2 * nv:].set(Hu_blk)
+    Ga, Gf = G[:nv], G[nv:]
+    HyG = jnp.concatenate([Ha_blk @ Ga, Hf_blk @ Gf], axis=0)
+    CwyG = jnp.zeros((w_dim, w_dim), dtype).at[:nv].set(cone_Hqf @ Gf)
+    Htil = Hw + CwyG + CwyG.T + G.T @ HyG
+    c0a, c0f = c0[:nv], c0[nv:]
+    hy0 = jnp.concatenate([Ha_blk @ c0a, Hf_blk @ c0f]) + pre["gy"]
+    Cc0 = jnp.zeros(w_dim, dtype).at[:nv].set(cone_Hqf @ c0f)
+    gtil = pre["gw"] + Cc0 + G.T @ hy0
+
+    sA = pre["sA"]
+    A = jnp.zeros((2 * nv, 2 * nv), dtype)
+    A = A.at[:nv, :nv].set(pre["Aqq"]).at[:nv, nv:].set(pre["Aqv"])
+    A = A.at[nv:, :nv].set(sA * Ga[:, :nv])
+    A = A.at[nv:, nv:].set(jnp.eye(nv, dtype=dtype)
+                           + sA * Ga[:, nv:2 * nv])
+    Bm = jnp.concatenate([jnp.zeros((nv, nu_dim), dtype),
+                          sA * Ga[:, 2 * nv:]], axis=0)
+    xres = jnp.concatenate([pre["xres_q"], pre["Fv_res"] + sA * c0a])
+    lam = pre["lam2"]
+    lx = gtil[:2 * nv] + A.T @ lam - pre["lmdgmm"]
+    lu = gtil[2 * nv:] + Bm.T @ lam
+    return dict(inv11=inv11, inv12=inv12, Sinv=Sinv, G=G, c0=c0,
+                A=A, Bm=Bm, xres=xres,
+                Qxx=Htil[:2 * nv, :2 * nv], Qxu=Htil[:2 * nv, 2 * nv:],
+                Quu=Htil[2 * nv:, 2 * nv:], lx=lx, lu=lu,
+                coneHqf=cone_Hqf, Hff_c=Hf_blk)
+
+
+def stage_finish(nv, nu_dim, nf, pre, ko) -> StageBlocks:
+    """Assemble StageBlocks from the pre-stage aux fields and the condense
+    outputs (either backend). Single-sample; vmapped by the caller."""
+    dtype = ko["A"].dtype
+    w_dim = 2 * nv + nu_dim
+    Hy = jnp.zeros((nv + nf, nv + nf), dtype)
+    Hy = Hy.at[:nv, :nv].set(pre["Wa"] + jnp.diag(pre["Ha_d"]))
+    Hy = Hy.at[nv:, nv:].set(ko["Hff_c"])
+    Cwy = jnp.zeros((w_dim, nv + nf), dtype)
+    Cwy = Cwy.at[:nv, nv:].set(ko["coneHqf"])
+    return StageBlocks(
+        A=ko["A"], B=ko["Bm"], xres=ko["xres"], Qxx=ko["Qxx"],
+        Qxu=ko["Qxu"], Quu=ko["Quu"], lx=ko["lx"], lu=ko["lu"],
+        G=ko["G"], c0=ko["c0"], inv11=ko["inv11"], inv12=ko["inv12"],
+        Sinv=ko["Sinv"], Hy=Hy, Cwy=Cwy, gy=pre["gy"],
+        e_lim=pre["aux_e_lim"], e_cone=pre["aux_e_cone"],
+        dgdq=pre["dgdq"], dgdf=pre["dgdf"],
+        lq_full=pre["aux_lq_full"], lv_full=pre["aux_lv_full"],
+        la_full=pre["aux_la_full"],
+        kkt_sq=pre["aux_kkt_sq"], cost=pre["aux_cost"],
+        barrier_cost=pre["aux_barrier_cost"],
+        prim_feas=pre["aux_prim"], dual_feas=pre["aux_dual"])
+
+
+def stage_eval(model, contacts, costs, limits, t, dt, barrier,
+               q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
+               q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+               cmask, p_ref, fric, R_ref=None):
+    """One intermediate grid (single-sample compatibility wrapper:
+    pre -> JAX condense -> finish). costs: tuple of cost components
+    (costs/base.py); cmask: (nc,) activity; p_ref: (nc, 3);
+    R_ref: (nc, 3, 3) surface-contact rotation refs (None = identity)."""
+    nv, nu_dim = model.nv, model.dimu
+    nf = contacts.max_dimf
+    pre = stage_pre(model, contacts, costs, limits, t, dt, barrier,
+                    q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
+                    q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+                    cmask, p_ref, fric, R_ref)
+    ko = condense_jax(nv, nu_dim, nf, pre)
+    return stage_finish(nv, nu_dim, nf, pre, ko)
 
 
 def expand(model, contacts, limits, barrier, blocks: StageBlocks,

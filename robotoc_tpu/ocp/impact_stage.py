@@ -35,12 +35,16 @@ from ..models import robot as rm
 from .contact_stage import StageBlocks
 
 
-def stage_eval(model, contacts, costs, limits, t, dt, barrier,
-               q, v, dv, u, lam, beta, mu, lmd, gmm, lmd_n, gmm_n,
-               q_n, v_n, s_lim, z_lim, s_cone, z_cone,
-               imp_mask, p_ref, fric):
-    """Impact variant of a superstage. dv/lam live in the a/f storage.
-    imp_mask: (nc,) contacts becoming active at this impact."""
+def stage_pre(model, contacts, costs, limits, t, dt, barrier,
+              q, v, dv, u, lam, beta, mu, lmd, gmm, lmd_n, gmm_n,
+              q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+              imp_mask, p_ref, fric):
+    """Impact pre-stage: fused impulse chain + impact cost + PDIPM
+    vectors + state equation, emitted as the SAME condense-kernel input
+    dict as the intermediate stage (ops/pallas_condense) — the stage type
+    only changes the T_w columns, the A-row scale (sA = 1, not dt) and
+    which cost blocks are zero. Hu_d = 1 makes the condensed Quu the
+    identity dummy-control block."""
     nv, nu_dim = model.nv, model.dimu
     nf = contacts.max_dimf
     dtype = q.dtype
@@ -77,59 +81,22 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
     zr = jnp.where(cone_mask, z_cone, 0.0) + r_cone
     cone_gq = dgdq.T @ zr
     cone_gf = dgdf.T @ zr
-    cone_Hqq = dgdq.T @ (d_cone[:, None] * dgdq)
-    cone_Hqf = dgdq.T @ (d_cone[:, None] * dgdf)
-    cone_Hff = dgdf.T @ (d_cone[:, None] * dgdf)
 
     # ---- state equation (dt = 0): q' = q, v' = v + dv ------------------
     Aqq, _, xres_q = se.linearize(model, q, jnp.zeros_like(v),
                                   jnp.zeros((), dtype), q_n)
     Fv_res = vpost - v_n
 
-    # ---- condensing of (ddv, dLambda) ----------------------------------
-    inactive = 1.0 - rowmask
-    inv11, inv12, Sinv = mjtj_inverse(M, J, inactive)
+    # ---- condense-kernel inputs ----------------------------------------
     # rows: impulse: M ddv - J^T dlam = -(dIDdq dq + ID_res)
-    #       vel:     J ddv = -(dCdq dq + J dvv... note d/dv = J) etc.
+    #       vel:     J ddv = -(dCdq dq + J dv_dir + C_res)   (d/dv = J)
     Tw1 = jnp.concatenate([dIDdq, jnp.zeros((nv, nv), dtype),
                            jnp.zeros((nv, nu_dim), dtype)], axis=1)
     Tw2 = jnp.concatenate([dCdq, J, jnp.zeros((nf, nu_dim), dtype)], axis=1)
-    X1, X2 = ty_solve(inv11, inv12, Sinv, Tw1, Tw2)
     e2 = jnp.where(rowmask > 0, C_res, lam)
-    x1_0, x2_0 = ty_solve(inv11, inv12, Sinv, ID_res, e2)
-    G = jnp.concatenate([-X1, X2], axis=0)
-    c0 = jnp.concatenate([-x1_0, x2_0], axis=0)
-
-    # ---- condensed quadratic over w = (dq, dv, du) ----------------------
-    w_dim = 2 * nv + nu_dim
-    Hw = jnp.zeros((w_dim, w_dim), dtype)
-    Hw = Hw.at[:nv, :nv].set(Wq + cone_Hqq)
-    Hw = Hw.at[nv:2 * nv, nv:2 * nv].set(Wv)
     gw = jnp.concatenate([lq_c + cone_gq, lv_c,
                           jnp.zeros(nu_dim, dtype)])
-    Hy = jnp.zeros((nv + nf, nv + nf), dtype)
-    Hy = Hy.at[:nv, :nv].set(Wdv)
-    Hy = Hy.at[nv:, nv:].set(Wf + cone_Hff)
     gy = jnp.concatenate([ldv_c, lf_c + cone_gf])
-    Cwy = jnp.zeros((w_dim, nv + nf), dtype)
-    Cwy = Cwy.at[:nv, nv:].set(cone_Hqf)
-
-    Htil = Hw + Cwy @ G + G.T @ Cwy.T + G.T @ Hy @ G
-    gtil = gw + Cwy @ c0 + G.T @ (Hy @ c0 + gy)
-
-    ddv_dw, ddv_0 = -X1, -x1_0
-    A = jnp.zeros((2 * nv, 2 * nv), dtype)
-    A = A.at[:nv, :nv].set(Aqq)
-    A = A.at[nv:, :nv].set(ddv_dw[:, :nv])
-    A = A.at[nv:, nv:].set(jnp.eye(nv, dtype=dtype) + ddv_dw[:, nv:2 * nv])
-    B = jnp.zeros((2 * nv, nu_dim), dtype)
-    xres = jnp.concatenate([xres_q, Fv_res + ddv_0])
-    Qxx = Htil[:2 * nv, :2 * nv]
-    Qxu = jnp.zeros((2 * nv, nu_dim), dtype)
-    Quu = jnp.eye(nu_dim, dtype=dtype)       # dummy control
-    lam_cost = jnp.concatenate([lmd_n, gmm_n])
-    lx = gtil[:2 * nv] + A.T @ lam_cost - jnp.concatenate([lmd, gmm])
-    lu = jnp.zeros(nu_dim, dtype)
 
     # ---- full KKT residuals --------------------------------------------
     lq_full = (lq_c + dgdq.T @ jnp.where(cone_mask, z_cone, 0.0)
@@ -151,15 +118,43 @@ def stage_eval(model, contacts, costs, limits, t, dt, barrier,
             + jnp.sum(jnp.abs(r_cone_p)))
     dual = jnp.sum(jnp.abs(c_cone))
 
-    e_lim_dummy = jnp.zeros_like(s_lim)   # joint limits off at impact slots
-    return StageBlocks(A=A, B=B, xres=xres, Qxx=Qxx, Qxu=Qxu, Quu=Quu,
-                       lx=lx, lu=lu, G=G, c0=c0, inv11=inv11, inv12=inv12,
-                       Sinv=Sinv, Hy=Hy, Cwy=Cwy, gy=gy,
-                       e_lim=e_lim_dummy, e_cone=g_cone, dgdq=dgdq,
-                       dgdf=dgdf,
-                       lq_full=lq_full, lv_full=lv_full, la_full=ldv_full,
-                       kkt_sq=kkt_sq, cost=c, barrier_cost=barrier_cost,
-                       prim_feas=prim, dual_feas=dual)
+    return dict(
+        M=M, J=J, inactive=1.0 - rowmask, Tw1=Tw1, Tw2=Tw2,
+        r1=ID_res, e2=e2,
+        Wq=Wq, Wv=Wv, Wu=jnp.zeros((nu_dim, nu_dim), dtype),
+        Wa=Wdv, Wf=Wf,
+        Hq_d=jnp.zeros(nv, dtype), Hv_d=jnp.zeros(nv, dtype),
+        Hu_d=jnp.ones(nu_dim, dtype),   # condensed Quu = I (dummy control)
+        Ha_d=jnp.zeros(nv, dtype),
+        dgdq=dgdq, dgdf=dgdf, d_cone=d_cone, gw=gw, gy=gy,
+        Aqq=Aqq, Aqv=jnp.zeros((nv, nv), dtype),
+        xres_q=xres_q, Fv_res=Fv_res,
+        sA=jnp.ones((), dtype),
+        lam2=jnp.concatenate([lmd_n, gmm_n]),
+        lmdgmm=jnp.concatenate([lmd, gmm]),
+        aux_e_lim=jnp.zeros_like(s_lim),   # joint limits off at impacts
+        aux_e_cone=g_cone,
+        aux_lq_full=lq_full, aux_lv_full=lv_full, aux_la_full=ldv_full,
+        aux_kkt_sq=kkt_sq, aux_cost=c, aux_barrier_cost=barrier_cost,
+        aux_prim=prim, aux_dual=dual)
+
+
+def stage_eval(model, contacts, costs, limits, t, dt, barrier,
+               q, v, dv, u, lam, beta, mu, lmd, gmm, lmd_n, gmm_n,
+               q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+               imp_mask, p_ref, fric):
+    """Impact variant of a superstage (single-sample wrapper: pre ->
+    shared JAX condense -> finish). dv/lam live in the a/f storage.
+    imp_mask: (nc,) contacts becoming active at this impact."""
+    from .contact_stage import condense_jax, stage_finish
+    nv, nu_dim = model.nv, model.dimu
+    nf = contacts.max_dimf
+    pre = stage_pre(model, contacts, costs, limits, t, dt, barrier,
+                    q, v, dv, u, lam, beta, mu, lmd, gmm, lmd_n, gmm_n,
+                    q_n, v_n, s_lim, z_lim, s_cone, z_cone,
+                    imp_mask, p_ref, fric)
+    ko = condense_jax(nv, nu_dim, nf, pre)
+    return stage_finish(nv, nu_dim, nf, pre, ko)
 
 
 def expand(model, contacts, barrier, blocks: StageBlocks,

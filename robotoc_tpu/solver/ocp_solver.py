@@ -89,6 +89,11 @@ class SolverOptions:
     slot, with the constrained Riccati factorization
     (reference switching_constraint.cpp + riccati_factorizer.cpp:58-89).
     Only effective when n_reserved_events > 0."""
+    use_pallas: str = struct.field(pytree_node=False, default="auto")
+    """Per-stage condensing backend: "auto" = Pallas kernels
+    (ops/pallas_condense) on TPU, vmapped JAX on CPU; True / False force
+    it. The Pallas path keeps each 128-stage tile VMEM-resident instead
+    of streaming every tiny batched matmul through HBM."""
 
 
 class OCPSolver:
@@ -115,6 +120,11 @@ class OCPSolver:
         # (riccati/parallel.py _null_space_transform)
         global_lqr = plqr if options.parallel_riccati else lqr
         self._lqr = global_lqr
+        use_pallas = options.use_pallas
+        if use_pallas == "auto":
+            use_pallas = (jax.default_backend() != "cpu"
+                          and contacts.max_dimf > 0)
+        self.use_pallas = bool(use_pallas)
         # `costs` is a call-time pytree argument: the MPC layer swaps
         # reference arrays every update without recompiling.
         self._solve = jax.jit(functools.partial(
@@ -122,22 +132,26 @@ class OCPSolver:
             options.max_iter, options.kkt_tol, options.barrier,
             options.fraction_to_boundary_rule, n_imp,
             riccati=global_lqr,
-            enable_ls=options.enable_line_search, enable_sw=enable_sw))
+            enable_ls=options.enable_line_search, enable_sw=enable_sw,
+            use_pallas=self.use_pallas))
         # barrier-schedule variant: (kkt_tol, barrier) are call-time traced
         # scalars so the mu path-following outer loop never recompiles
         self._solve_mu = jax.jit(functools.partial(
             _solve, model, contacts, self.limits, options.max_iter,
             ftb=options.fraction_to_boundary_rule, n_imp=n_imp,
             riccati=global_lqr,
-            enable_ls=options.enable_line_search, enable_sw=enable_sw))
+            enable_ls=options.enable_line_search, enable_sw=enable_sw,
+            use_pallas=self.use_pallas))
         self._update = jax.jit(functools.partial(
             _update, model, contacts, self.limits,
             options.barrier, options.fraction_to_boundary_rule, n_imp,
             riccati=global_lqr,
-            enable_ls=options.enable_line_search, enable_sw=enable_sw))
+            enable_ls=options.enable_line_search, enable_sw=enable_sw,
+            use_pallas=self.use_pallas))
         self._kkt_error = jax.jit(functools.partial(
             _kkt_error, model, contacts, self.limits,
-            options.barrier, n_imp, enable_sw=enable_sw))
+            options.barrier, n_imp, enable_sw=enable_sw,
+            use_pallas=self.use_pallas))
 
     def init_solution(self, grid: GridData, q, v,
                       f_init: Optional[jnp.ndarray] = None) -> Solution:
@@ -283,41 +297,54 @@ def _impact_slots(grid: GridData, n_imp: int):
 
 def _build(model, contacts, limits, barrier, n_imp,
            costs, sol: Solution, grid: GridData, q_init, v_init,
-           enable_sw=False):
+           enable_sw=False, use_pallas=False):
     """n_imp (static int): number of impact/pass-through slots in the grid.
     Impact stages are evaluated ONLY on those slots (gather -> scatter), not
     on all N grids — the reserved-slot design's FLOP saving (round-1 review
     item: the dual full-horizon evaluation did ~2x redundant work).
     enable_sw: assemble the switching constraints (condensed rows Phix/Phiu
-    attached two slots before each impact slot)."""
+    attached two slots before each impact slot).
+    use_pallas: run the per-stage condensing through the batched Pallas
+    kernels (ops/pallas_condense) instead of the vmapped JAX path — both
+    stage types merge at the PRE level and condense in one kernel call."""
     dt = grid.dt
+    nv, nu_dim = model.nv, model.dimu
+    nf = contacts.max_dimf
     fn = jax.vmap(functools.partial(
-        stage.stage_eval, model, contacts, costs, limits))
-    blocks = fn(grid.t[:-1], dt, jnp.full_like(dt, barrier),
-                sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.f[:-1],
-                sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1], sol.gmm[:-1],
-                sol.lmd[1:], sol.gmm[1:], sol.q[1:], sol.v[1:],
-                sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
-                grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1],
-                grid.R_ref[:-1])
+        stage.stage_pre, model, contacts, costs, limits))
+    pre = fn(grid.t[:-1], dt, jnp.full_like(dt, barrier),
+             sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.f[:-1],
+             sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1], sol.gmm[:-1],
+             sol.lmd[1:], sol.gmm[1:], sol.q[1:], sol.v[1:],
+             sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
+             grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1],
+             grid.R_ref[:-1])
     if n_imp > 0:
         idx = _impact_slots(grid, n_imp)
         g = lambda x: jnp.take(x, idx, axis=0)
         ifn = jax.vmap(functools.partial(
-            istage.stage_eval, model, contacts, costs, limits))
-        iblocks = ifn(g(grid.t[:-1]), g(dt),
-                      jnp.full((n_imp,), barrier, dt.dtype),
-                      g(sol.q[:-1]), g(sol.v[:-1]), g(sol.a[:-1]),
-                      g(sol.u[:-1]), g(sol.f[:-1]), g(sol.beta[:-1]),
-                      g(sol.mu[:-1]), g(sol.lmd[:-1]), g(sol.gmm[:-1]),
-                      g(sol.lmd[1:]), g(sol.gmm[1:]),
-                      g(sol.q[1:]), g(sol.v[1:]),
-                      g(sol.s_lim), g(sol.z_lim), g(sol.s_cone),
-                      g(sol.z_cone),
-                      g(grid.imp_mask[:-1]), g(grid.p_ref[:-1]),
-                      g(grid.friction[:-1]))
-        blocks = jax.tree.map(lambda b, ib: b.at[idx].set(ib),
-                              blocks, iblocks)
+            istage.stage_pre, model, contacts, costs, limits))
+        ipre = ifn(g(grid.t[:-1]), g(dt),
+                   jnp.full((n_imp,), barrier, dt.dtype),
+                   g(sol.q[:-1]), g(sol.v[:-1]), g(sol.a[:-1]),
+                   g(sol.u[:-1]), g(sol.f[:-1]), g(sol.beta[:-1]),
+                   g(sol.mu[:-1]), g(sol.lmd[:-1]), g(sol.gmm[:-1]),
+                   g(sol.lmd[1:]), g(sol.gmm[1:]),
+                   g(sol.q[1:]), g(sol.v[1:]),
+                   g(sol.s_lim), g(sol.z_lim), g(sol.s_cone),
+                   g(sol.z_cone),
+                   g(grid.imp_mask[:-1]), g(grid.p_ref[:-1]),
+                   g(grid.friction[:-1]))
+        pre = {k: pre[k].at[idx].set(ipre[k]) for k in pre}
+    kin = {k: v for k, v in pre.items() if not k.startswith("aux_")}
+    if use_pallas:
+        from ..ops import pallas_condense as pc
+        ko = pc.get_condense(nv, nu_dim, nf, contacts.dimc_cone)(**kin)
+    else:
+        ko = jax.vmap(
+            functools.partial(stage.condense_jax, nv, nu_dim, nf))(kin)
+    blocks = jax.vmap(
+        functools.partial(stage.stage_finish, nv, nu_dim, nf))(pre, ko)
     sw_fields = dict(Phix=None, Phiu=None, Pc=None, sw=None)
     sw_aux = dict(lagrangian=jnp.zeros((), sol.q.dtype))
     if n_imp > 0 and enable_sw:
@@ -509,20 +536,23 @@ def _integrate_solution(model, sol: Solution, d: Directions, a_p, a_d):
 
 def _update(model, contacts, limits, barrier, ftb, n_imp,
             costs, sol: Solution, grid: GridData, q_init, v_init,
-            riccati=lqr, enable_ls=False, enable_sw=False):
+            riccati=lqr, enable_ls=False, enable_sw=False,
+            use_pallas=False):
     built = _build(model, contacts, limits, barrier, n_imp, costs,
-                   sol, grid, q_init, v_init, enable_sw=enable_sw)
+                   sol, grid, q_init, v_init, enable_sw=enable_sw,
+                   use_pallas=use_pallas)
     out = _direction_and_step(model, contacts, limits, barrier, ftb,
                               n_imp, costs, sol, grid, q_init, v_init,
                               built, riccati=riccati, enable_ls=enable_ls,
-                              enable_sw=enable_sw)
+                              enable_sw=enable_sw, use_pallas=use_pallas)
     return out[:4]
 
 
 def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
                         costs, sol: Solution, grid: GridData, q_init,
                         v_init, built, riccati=lqr, enable_ls=False,
-                        enable_sw=False, filt=None, ls_it=0):
+                        enable_sw=False, use_pallas=False, filt=None,
+                        ls_it=0):
     """Newton direction + globalized step from an already-evaluated build
     (lets the solve loop reuse one _build per iteration for both the step
     and the convergence check). With enable_ls == "filter", `filt` is the
@@ -637,7 +667,8 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
             _, _, _, k_sq, _, _ = _build(model, contacts, limits, barrier,
                                          n_imp, costs, trial_sol,
                                          grid, q_init, v_init,
-                                         enable_sw=enable_sw)
+                                         enable_sw=enable_sw,
+                                         use_pallas=use_pallas)
             return k_sq
 
         def cond(state):
@@ -664,16 +695,18 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
 
 
 def _kkt_error(model, contacts, limits, barrier, n_imp,
-               costs, sol, grid, q_init, v_init, enable_sw=False):
+               costs, sol, grid, q_init, v_init, enable_sw=False,
+               use_pallas=False):
     _, _, _, kkt_sq, _, _ = _build(model, contacts, limits, barrier,
                                    n_imp, costs, sol, grid, q_init,
-                                   v_init, enable_sw=enable_sw)
+                                   v_init, enable_sw=enable_sw,
+                                   use_pallas=use_pallas)
     return jnp.sqrt(kkt_sq)
 
 
 def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
            n_imp, costs, sol, grid, q_init, v_init, riccati=lqr,
-           enable_ls=False, enable_sw=False):
+           enable_ls=False, enable_sw=False, use_pallas=False):
     """Newton loop with ONE stage build per iteration: the build evaluated
     for the convergence check is reused for the next direction (the
     reference also evaluates the KKT system once per iteration,
@@ -684,7 +717,8 @@ def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
 
     def do_build(s):
         return _build(model, contacts, limits, barrier, n_imp, costs, s,
-                      grid, q_init, v_init, enable_sw=enable_sw)
+                      grid, q_init, v_init, enable_sw=enable_sw,
+                      use_pallas=use_pallas)
 
     from ..line_search import line_search as lsmod
     use_filter = enable_ls == "filter"
@@ -698,7 +732,8 @@ def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
         out = _direction_and_step(
             model, contacts, limits, barrier, ftb, n_imp, costs, s, grid,
             q_init, v_init, built, riccati=riccati, enable_ls=enable_ls,
-            enable_sw=enable_sw, filt=filt, ls_it=it)
+            enable_sw=enable_sw, use_pallas=use_pallas, filt=filt,
+            ls_it=it)
         new, _, alpha = out[0], out[1], out[2]
         if use_filter:
             filt = out[4]

@@ -59,6 +59,17 @@ _OUT_NAMES = ("inv11", "inv12", "Sinv", "G", "c0", "A", "Bm", "xres",
               "Qxx", "Qxu", "Quu", "lx", "lu", "coneHqf", "Hff_c")
 
 
+def _d0(A, i):
+    """A[i] via slice+squeeze (integer indexing lowers to `gather`, which
+    Mosaic only supports in 2D; slices always lower)."""
+    return jnp.squeeze(jax.lax.slice_in_dim(A, i, i + 1, axis=0), axis=0)
+
+
+def _d1(A, i):
+    """A[:, i] via slice+squeeze."""
+    return jnp.squeeze(jax.lax.slice_in_dim(A, i, i + 1, axis=1), axis=1)
+
+
 def _matvec(Mat, vec):
     """(d1, d2, T) x (d2, T) -> (d1, T): one broadcast-FMA plane."""
     return jnp.sum(Mat * vec[None, :, :], axis=1)
@@ -72,31 +83,37 @@ def _matTvec(Mat, vec):
 def _matmul(A, B):
     """(m, k, T) @ (k, n, T) -> (m, n, T): static k-loop of plane FMAs."""
     k = A.shape[1]
-    acc = A[:, 0, None, :] * B[None, 0, :, :]
+    acc = _d1(A, 0)[:, None, :] * _d0(B, 0)[None, :, :]
     for i in range(1, k):
-        acc = acc + A[:, i, None, :] * B[None, i, :, :]
+        acc = acc + _d1(A, i)[:, None, :] * _d0(B, i)[None, :, :]
     return acc
 
 
 def _matTmul(A, B):
     """(k, m, T)^T @ (k, n, T) -> (m, n, T)."""
     k = A.shape[0]
-    acc = A[0, :, None, :] * B[0, None, :, :]
+    acc = _d0(A, 0)[:, None, :] * _d0(B, 0)[None, :, :]
     for i in range(1, k):
-        acc = acc + A[i, :, None, :] * B[i, None, :, :]
+        acc = acc + _d0(A, i)[:, None, :] * _d0(B, i)[None, :, :]
     return acc
 
 
+def _cat_nonempty(parts, axis):
+    """Concat skipping zero-size pieces (Mosaic rejects 0-sized vectors)."""
+    parts = [p for p in parts if p.shape[axis] > 0]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis)
+
+
 def _set_row(A, k, row):
-    return jnp.concatenate([A[:k], row[None], A[k + 1:]], axis=0)
+    return _cat_nonempty([A[:k], row[None], A[k + 1:]], 0)
 
 
 def _set_col(A, k, col):
-    return jnp.concatenate([A[:, :k], col[:, None], A[:, k + 1:]], axis=1)
+    return _cat_nonempty([A[:, :k], col[:, None], A[:, k + 1:]], 1)
 
 
 def _set_entry(vec, k, val):
-    return jnp.concatenate([vec[:k], val[None], vec[k + 1:]], axis=0)
+    return _cat_nonempty([vec[:k], val[None], vec[k + 1:]], 0)
 
 
 def _gauss_jordan(A, n):
@@ -105,10 +122,11 @@ def _gauss_jordan(A, n):
     Row/col/pivot restoration is concat-based static assembly (Pallas
     kernels cannot capture array constants; no scatters needed)."""
     for k in range(n):
-        p = A[k, k]                        # (T,)
+        row0 = _d0(A, k)                   # (n, T)
+        p = _d0(row0, k)                   # (T,)
         rinv = 1.0 / p
-        row = A[k] * rinv[None, :]         # (n, T)
-        col = A[:, k]                      # (n, T)
+        row = row0 * rinv[None, :]         # (n, T)
+        col = _d1(A, k)                    # (n, T)
         # rank-1 sweep zeroes row k and col k (col[k] = p)
         A = A - col[:, None, :] * row[None, :, :]
         # restore: row k <- row (pivot 1/p), col k <- -col/p (pivot 1/p)
@@ -152,73 +170,103 @@ def _k1_kernel(nv, nf, M_ref, J_ref, inact_ref, Tw1_ref, Tw2_ref,
     c0_ref[...] = jnp.concatenate([-x0[:nv], x0[nv:]], axis=0)
 
 
+def _kc_kernel(nv, nu, nf, ncone,
+               dgdq_ref, dgdf_ref, d_cone_ref,
+               coneHqq_ref, coneHqf_ref, coneHff_ref):
+    """Cone Gauss-Newton blocks: sum_r d_r * (dg_r x dg_r). A separate
+    tiny kernel so K2 never holds the (ncone, nv/nf, T) Jacobians."""
+    dgq = dgdq_ref[...]                                  # (ncone, nv, T)
+    dgf = dgdf_ref[...]
+    dc = d_cone_ref[...]                                 # (ncone, T)
+
+    def _cone_terms(r):
+        dcr, gq_r, gf_r = _d0(dc, r), _d0(dgq, r), _d0(dgf, r)
+        dqr = dcr * gq_r
+        return (dqr[:, None, :] * gq_r[None, :, :],
+                dqr[:, None, :] * gf_r[None, :, :],
+                (dcr * gf_r)[:, None, :] * gf_r[None, :, :])
+
+    coneHqq, coneHqf, coneHff = _cone_terms(0)
+    for r in range(1, ncone):
+        tqq, tqf, tff = _cone_terms(r)
+        coneHqq = coneHqq + tqq
+        coneHqf = coneHqf + tqf
+        coneHff = coneHff + tff
+    coneHqq_ref[...] = coneHqq
+    coneHqf_ref[...] = coneHqf
+    coneHff_ref[...] = coneHff
+
+
 def _k2_kernel(nv, nu, nf, ncone,
-               G_ref, c0_ref, Wq_ref, Wv_ref, Wu_ref, Wa_ref, Wf_ref,
-               Hq_d_ref, Hv_d_ref, Hu_d_ref, Ha_d_ref,
-               dgdq_ref, dgdf_ref, d_cone_ref, gw_ref, gy_ref,
-               Aqq_ref, Aqv_ref, xres_q_ref, Fv_res_ref, sA_ref,
-               lam2_ref, lmdgmm_ref,
-               A_ref, Bm_ref, xres_ref, Qxx_ref, Qxu_ref, Quu_ref,
-               lx_ref, lu_ref, coneHqf_ref, Hff_ref):
-    """Condensed quadratic over w = (dq, dv, du) + LQR block assembly
-    (reference contact_dynamics.cpp:109-140 + intermediate_stage.cpp
-    Riccati data fill)."""
+               G_ref, c0_ref, Hq_ref, Hv_ref, Hu_ref, Ha_ref, Hf_ref,
+               coneHqf_ref, gw_ref, gy_ref,
+               Qxx_ref, Qxu_ref, Quu_ref, gtil_ref):
+    """Condensed quadratic over w = (dq, dv, du)
+    (reference contact_dynamics.cpp:109-140). Takes the PRE-ASSEMBLED
+    cost+constraint blocks (Wq + diag + cone terms, folded in XLA where
+    the adds fuse for free); the LQR A/B/residual/gradient assembly lives
+    in _k3_kernel — the three-way split keeps each kernel's
+    double-buffered IO under the 16 MB VMEM budget."""
     w = 2 * nv + nu
     nx = 2 * nv
     ny = nv + nf
     dt = G_ref.dtype
     G = G_ref[...]
     c0 = c0_ref[...]
-    dgq = dgdq_ref[...]                                  # (ncone, nv, T)
-    dgf = dgdf_ref[...]
-    dc = d_cone_ref[...]                                 # (ncone, T)
-    # cone Gauss-Newton blocks: sum_r d_r * (dg_r x dg_r)
-    dq0 = dc[0] * dgq[0]
-    coneHqq = dq0[:, None, :] * dgq[0][None, :, :]
-    coneHqf = dq0[:, None, :] * dgf[0][None, :, :]
-    coneHff = (dc[0] * dgf[0])[:, None, :] * dgf[0][None, :, :]
-    for r in range(1, ncone):
-        dqr = dc[r] * dgq[r]
-        coneHqq = coneHqq + dqr[:, None, :] * dgq[r][None, :, :]
-        coneHqf = coneHqf + dqr[:, None, :] * dgf[r][None, :, :]
-        coneHff = coneHff + (dc[r] * dgf[r])[:, None, :] * dgf[r][None, :, :]
-    eye_v = _eye_planes(nv, 1, dt)
-    eye_u = _eye_planes(nu, 1, dt)
-    Hq_blk = Wq_ref[...] + eye_v * Hq_d_ref[...][None, :, :] + coneHqq
-    Hv_blk = Wv_ref[...] + eye_v * Hv_d_ref[...][None, :, :]
-    Hu_blk = Wu_ref[...] + eye_u * Hu_d_ref[...][None, :, :]
-    Ha_blk = Wa_ref[...] + eye_v * Ha_d_ref[...][None, :, :]
-    Hf_blk = Wf_ref[...] + coneHff
-    Hff_ref[...] = Hf_blk
-    coneHqf_ref[...] = coneHqf
+    Hq_blk = Hq_ref[...]
+    Hv_blk = Hv_ref[...]
+    Hu_blk = Hu_ref[...]
+    Ha_blk = Ha_ref[...]
+    Hf_blk = Hf_ref[...]
+    coneHqf = coneHqf_ref[...]
     Ga, Gf = G[:nv], G[nv:]
+    T = G.shape[-1]
     # Hy @ G with the block-diagonal Hy = diag(Ha_blk, Hf_blk)
     HyG = jnp.concatenate([_matmul(Ha_blk, Ga), _matmul(Hf_blk, Gf)],
                           axis=0)                        # (ny, w, T)
-    GtHyG = _matTmul(G, HyG)                             # (w, w, T)
     CwyG = _matmul(coneHqf, Gf)                          # (nv, w, T)
-    zpad = jnp.zeros((nv + nu, w, 1), dt)
-    Cfull = jnp.concatenate(
-        [CwyG, jnp.broadcast_to(zpad, (nv + nu, w, CwyG.shape[-1]))],
+    # Htil = blockdiag(Hq, Hv, Hu) + pad(CwyG) + pad(CwyG)^T + G^T Hy G,
+    # assembled PER OUTPUT BLOCK — materializing the full (w, w, T)
+    # temporaries (Hw/Cfull/Htil) blows the 16 MB VMEM budget.
+    Gx, Gu2 = G[:, :nx], G[:, nx:]                       # (ny, nx/nu, T)
+    HyGx, HyGu = HyG[:, :nx], HyG[:, nx:]
+    Cx, Cu = CwyG[:, :nx], CwyG[:, nx:]                  # (nv, ., T)
+    zxv = jnp.zeros((nx - nv, nx, T), dt)
+    Cxp = jnp.concatenate([Cx, zxv], axis=0)             # (nx, nx, T)
+    z_vu = jnp.zeros((nv, nu, T), dt)
+    Qxx = _matTmul(Gx, HyGx) + Cxp + jnp.swapaxes(Cxp, 0, 1)
+    Qxx = Qxx + jnp.concatenate([
+        jnp.concatenate([Hq_blk, jnp.zeros((nv, nv, T), dt)], axis=1),
+        jnp.concatenate([jnp.zeros((nv, nv, T), dt), Hv_blk], axis=1)],
         axis=0)
-    z_vv = jnp.zeros((nv, nv, 1), dt)
-    z_vu = jnp.zeros((nv, nu, 1), dt)
-    z_uv = jnp.zeros((nu, nv, 1), dt)
-    T = G.shape[-1]
-    bc = lambda z: jnp.broadcast_to(z, z.shape[:2] + (T,))
-    Hw = jnp.concatenate([
-        jnp.concatenate([Hq_blk, bc(z_vv), bc(z_vu)], axis=1),
-        jnp.concatenate([bc(z_vv), Hv_blk, bc(z_vu)], axis=1),
-        jnp.concatenate([bc(z_uv), bc(z_uv), Hu_blk], axis=1)], axis=0)
-    Htil = Hw + Cfull + jnp.swapaxes(Cfull, 0, 1) + GtHyG
+    Qxx_ref[...] = Qxx
+    Qxu_ref[...] = (_matTmul(Gx, HyGu)
+                    + jnp.concatenate([Cu, z_vu], axis=0))
+    Quu_ref[...] = _matTmul(Gu2, HyGu) + Hu_blk
     # gtil = gw + Cwy c0 + G^T (Hy c0 + gy)
     c0a, c0f = c0[:nv], c0[nv:]
     hy0 = jnp.concatenate([_matvec(Ha_blk, c0a), _matvec(Hf_blk, c0f)],
                           axis=0) + gy_ref[...]
     Cc0 = jnp.concatenate(
         [_matvec(coneHqf, c0f), jnp.zeros((nv + nu, T), dt)], axis=0)
-    gtil = gw_ref[...] + Cc0 + _matTvec(G, hy0)
-    # LQR blocks
+    gtil_ref[...] = gw_ref[...] + Cc0 + _matTvec(G, hy0)
+
+
+def _k3_kernel(nv, nu, nf,
+               G_ref, c0_ref, gtil_ref, Aqq_ref, Aqv_ref,
+               xres_q_ref, Fv_res_ref, sA_ref, lam2_ref, lmdgmm_ref,
+               A_ref, Bm_ref, xres_ref, lx_ref, lu_ref):
+    """LQR block assembly: A/B from the condensed acceleration rows,
+    state residual, and the costate-corrected gradients."""
+    nx = 2 * nv
+    dt = G_ref.dtype
+    G = G_ref[...]
+    c0 = c0_ref[...]
+    gtil = gtil_ref[...]
+    c0a = c0[:nv]
+    Ga = G[:nv]
+    T = G.shape[-1]
+    eye_v = _eye_planes(nv, 1, dt)
     sA = sA_ref[...]                                     # (1, T)
     Gq, Gv, Gu = Ga[:, :nv], Ga[:, nv:2 * nv], Ga[:, 2 * nv:]
     A_top = jnp.concatenate([Aqq_ref[...], Aqv_ref[...]], axis=1)
@@ -236,9 +284,6 @@ def _k2_kernel(nv, nu, nf, ncone,
     lam2 = lam2_ref[...]                                 # (nx, T)
     lx_ref[...] = gtil[:nx] + _matTvec(A, lam2) - lmdgmm_ref[...]
     lu_ref[...] = gtil[nx:] + _matTvec(Bm, lam2)
-    Qxx_ref[...] = Htil[:nx, :nx]
-    Qxu_ref[...] = Htil[:nx, nx:]
-    Quu_ref[...] = Htil[nx:, nx:]
 
 
 def _block_spec(shape_head, tile):
@@ -297,14 +342,38 @@ def _condense_flat(dims, interpret, **arrs):
     )(*[ins[n] for n in k1_in])
     o1 = dict(zip(out1_shapes, o1))
 
-    k2_in = ["G", "c0", "Wq", "Wv", "Wu", "Wa", "Wf", "Hq_d", "Hv_d",
-             "Hu_d", "Ha_d", "dgdq", "dgdf", "d_cone", "gw", "gy",
-             "Aqq", "Aqv", "xres_q", "Fv_res", "sA", "lam2", "lmdgmm"]
-    k2_args = [o1[n] if n in o1 else ins[n] for n in k2_in]
-    out2_shapes = {"A": (nx, nx), "Bm": (nx, nu), "xres": (nx,),
-                   "Qxx": (nx, nx), "Qxu": (nx, nu), "Quu": (nu, nu),
-                   "lx": (nx,), "lu": (nu,), "coneHqf": (nv, nf),
-                   "Hff_c": (nf, nf)}
+    kc_in = ["dgdq", "dgdf", "d_cone"]
+    outc_shapes = {"coneHqq": (nv, nv), "coneHqf": (nv, nf),
+                   "coneHff": (nf, nf)}
+    oc = pl.pallas_call(
+        functools.partial(_kc_kernel, nv, nu, nf, ncone),
+        grid=grid,
+        in_specs=[_block_spec(ins[n].shape[:-1], TILE) for n in kc_in],
+        out_specs=tuple(_block_spec(s, TILE)
+                        for s in outc_shapes.values()),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(s + (S_pad,), dt)
+            for s in outc_shapes.values()),
+        interpret=interpret,
+    )(*[ins[n] for n in kc_in])
+    oc = dict(zip(outc_shapes, oc))
+
+    # cost + PDIPM + cone block assembly: batched-diagonal adds fuse in
+    # XLA; keeping them out of K2 shrinks its VMEM-resident input set
+    def _diag_planes(vec, n):
+        # vec: (n, S_pad) -> (n, n, S_pad) with vec on the diagonal
+        return jnp.eye(n, dtype=dt)[:, :, None] * vec[None, :, :]
+
+    Hq_blk = ins["Wq"] + _diag_planes(ins["Hq_d"], nv) + oc["coneHqq"]
+    Hv_blk = ins["Wv"] + _diag_planes(ins["Hv_d"], nv)
+    Hu_blk = ins["Wu"] + _diag_planes(ins["Hu_d"], nu)
+    Ha_blk = ins["Wa"] + _diag_planes(ins["Ha_d"], nv)
+    Hf_blk = ins["Wf"] + oc["coneHff"]
+
+    k2_args = [o1["G"], o1["c0"], Hq_blk, Hv_blk, Hu_blk, Ha_blk,
+               Hf_blk, oc["coneHqf"], ins["gw"], ins["gy"]]
+    out2_shapes = {"Qxx": (nx, nx), "Qxu": (nx, nu), "Quu": (nu, nu),
+                   "gtil": (w,)}
     o2 = pl.pallas_call(
         functools.partial(_k2_kernel, nv, nu, nf, ncone),
         grid=grid,
@@ -318,19 +387,33 @@ def _condense_flat(dims, interpret, **arrs):
         interpret=interpret,
     )(*k2_args)
     o2 = dict(zip(out2_shapes, o2))
+    o2["coneHqf"] = oc["coneHqf"]
+    o2["Hff_c"] = Hf_blk
 
-    def from_lanes(x, rank):
-        x = jnp.moveaxis(x, -1, 0)[:S]
-        if rank == 1:
-            x = x[..., 0] if x.ndim == 2 else x
-        return x
+    k3_in = ["G", "c0", "gtil", "Aqq", "Aqv", "xres_q", "Fv_res", "sA",
+             "lam2", "lmdgmm"]
+    k3_args = [o1[n] if n in o1 else (o2[n] if n in o2 else ins[n])
+               for n in k3_in]
+    out3_shapes = {"A": (nx, nx), "Bm": (nx, nu), "xres": (nx,),
+                   "lx": (nx,), "lu": (nu,)}
+    o3 = pl.pallas_call(
+        functools.partial(_k3_kernel, nv, nu, nf),
+        grid=grid,
+        in_specs=[_block_spec(a.shape[:-1], TILE) for a in k3_args],
+        out_specs=tuple(_block_spec(s if len(s) == 2 else (s[0],), TILE)
+                        for s in out3_shapes.values()),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(
+                (s if len(s) == 2 else (s[0],)) + (S_pad,), dt)
+            for s in out3_shapes.values()),
+        interpret=interpret,
+    )(*k3_args)
+    o2.update(dict(zip(out3_shapes, o3)))
 
     out = {}
     for name in _OUT_NAMES:
         src = o1 if name in o1 else o2
-        shp = out1_shapes.get(name) or out2_shapes.get(name)
-        x = jnp.moveaxis(src[name], -1, 0)[:S]
-        out[name] = x
+        out[name] = jnp.moveaxis(src[name], -1, 0)[:S]
     return tuple(out[n] for n in _OUT_NAMES)
 
 

@@ -32,6 +32,7 @@ from ..ocp import impact_stage as istage
 from ..planner.contact_sequence import GridData
 from ..riccati import lqr
 from ..riccati import parallel as plqr
+from ..riccati import pallas_scan as plscan
 
 
 @struct.dataclass
@@ -118,13 +119,18 @@ class OCPSolver:
         # serial scan via the constrained Schur branch (riccati/lqr.py),
         # the associative scan via the exact null-space element transform
         # (riccati/parallel.py _null_space_transform)
-        global_lqr = plqr if options.parallel_riccati else lqr
-        self._lqr = global_lqr
         use_pallas = options.use_pallas
         if use_pallas == "auto":
             use_pallas = (jax.default_backend() != "cpu"
                           and contacts.max_dimf > 0)
         self.use_pallas = bool(use_pallas)
+        if options.parallel_riccati:
+            global_lqr = plqr
+        elif self.use_pallas:
+            global_lqr = plscan   # grid-as-time Pallas backward sweep
+        else:
+            global_lqr = lqr
+        self._lqr = global_lqr
         # `costs` is a call-time pytree argument: the MPC layer swaps
         # reference arrays every update without recompiling.
         self._solve = jax.jit(functools.partial(
@@ -536,8 +542,10 @@ def _integrate_solution(model, sol: Solution, d: Directions, a_p, a_d):
 
 def _update(model, contacts, limits, barrier, ftb, n_imp,
             costs, sol: Solution, grid: GridData, q_init, v_init,
-            riccati=lqr, enable_ls=False, enable_sw=False,
+            riccati=None, enable_ls=False, enable_sw=False,
             use_pallas=False):
+    if riccati is None:
+        riccati = plscan if use_pallas else lqr
     built = _build(model, contacts, limits, barrier, n_imp, costs,
                    sol, grid, q_init, v_init, enable_sw=enable_sw,
                    use_pallas=use_pallas)
@@ -550,9 +558,11 @@ def _update(model, contacts, limits, barrier, ftb, n_imp,
 
 def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
                         costs, sol: Solution, grid: GridData, q_init,
-                        v_init, built, riccati=lqr, enable_ls=False,
+                        v_init, built, riccati=None, enable_ls=False,
                         enable_sw=False, use_pallas=False, filt=None,
                         ls_it=0):
+    if riccati is None:
+        riccati = plscan if use_pallas else lqr
     """Newton direction + globalized step from an already-evaluated build
     (lets the solve loop reuse one _build per iteration for both the step
     and the convergence check). With enable_ls == "filter", `filt` is the

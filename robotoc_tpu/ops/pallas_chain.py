@@ -1,0 +1,729 @@
+"""Pallas TPU kernel for the fused stage kinematic chain + derivatives.
+
+Replaces models/contacts.fused_stage_derivatives (inverse-dynamics,
+Baumgarte contact and friction-cone residuals, their q/v/a Jacobians, and
+the task-cost rows) for POINT-contact robots. The XLA version evaluates a
+3nv-tangent jacfwd over the level-batched chain: every intermediate is a
+(S, nj, 6, 3nv) tensor whose tiny trailing dims waste most of each
+(8, 128) TPU tile and whose dozens of ops round-trip HBM — the round-3
+profile put 35 ms of the 45 ms Newton update here at B*N = 2688.
+
+This kernel keeps one 128-stage tile VMEM-resident with the batch across
+lanes and hand-propagates STRUCTURED forward-mode tangents:
+
+  * a Dual is (val, dq, dv, da) with tangent blocks stored (..., nv, T)
+    and `None` meaning structurally zero — placements carry only dq,
+    velocities (dq, dv), accelerations all three. This is the analytic-
+    derivative sparsity (Pinocchio's RNEA derivatives exploit the same
+    structure; reference robot.hpp:460-534) and costs ~2x less than the
+    dense 3nv tangent space;
+  * joint seeds are closed-form (dR = R hat(axis) for revolute, local
+    SE(3) right-perturbation for the free base — matching
+    models/robot.integrate) so no autodiff machinery is needed;
+  * the gravity term never propagates: with zero angular part,
+    X^-1 chains reduce to GP_j = (R_wj^T (-g), 0) exactly;
+  * levels evaluate batched (the 4 identical legs of a quadruped are one
+    (k, ...) stack per level, robot.chain_levels), all indexing static.
+
+Surface contacts (se3_log residuals) and non-point stacks fall back to
+the XLA path (ocp/contact_stage.stage_pre decides).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import robot as rm
+from ..models.urdf import FREE, PRISMATIC, REVOLUTE
+
+TILE = 128
+
+
+# ---------------------------------------------------------------------------
+# Structured duals: val (..., T); dq/dv/da (..., nv, T) or None
+# ---------------------------------------------------------------------------
+
+class Dual(NamedTuple):
+    val: jnp.ndarray
+    dq: Optional[jnp.ndarray] = None
+    dv: Optional[jnp.ndarray] = None
+    da: Optional[jnp.ndarray] = None
+
+
+def _t(fn, *parts):
+    """Apply fn to tangent blocks, None-aware (None = zero block)."""
+    if all(p is None for p in parts):
+        return None
+    shapes = [p for p in parts if p is not None]
+    zeros = jnp.zeros_like(shapes[0])
+    return fn(*[zeros if p is None else p for p in parts])
+
+
+def dadd(x: Dual, y: Dual) -> Dual:
+    return Dual(x.val + y.val,
+                _t(lambda a, b: a + b, x.dq, y.dq),
+                _t(lambda a, b: a + b, x.dv, y.dv),
+                _t(lambda a, b: a + b, x.da, y.da))
+
+
+def dsub(x: Dual, y: Dual) -> Dual:
+    return Dual(x.val - y.val,
+                _t(lambda a, b: a - b, x.dq, y.dq),
+                _t(lambda a, b: a - b, x.dv, y.dv),
+                _t(lambda a, b: a - b, x.da, y.da))
+
+
+def dneg(x: Dual) -> Dual:
+    n = lambda a: None if a is None else -a
+    return Dual(-x.val, n(x.dq), n(x.dv), n(x.da))
+
+
+def cmul(c, x: Dual) -> Dual:
+    """Multiply by a tangent-free factor (const plane or scalar)."""
+    ce = c[..., None, :] if isinstance(c, jnp.ndarray) and c.ndim else c
+    m = lambda a: None if a is None else ce * a
+    return Dual(c * x.val, m(x.dq), m(x.dv), m(x.da))
+
+
+def dmul(x: Dual, y: Dual) -> Dual:
+    """Elementwise product with broadcasting over component dims."""
+    xv = x.val[..., None, :]
+    yv = y.val[..., None, :]
+
+    def tan(xt, yt):
+        if xt is None and yt is None:
+            return None
+        out = None
+        if xt is not None:
+            out = xt * yv
+        if yt is not None:
+            out = yt * xv if out is None else out + yt * xv
+        return out
+
+    return Dual(x.val * y.val, tan(x.dq, y.dq), tan(x.dv, y.dv),
+                tan(x.da, y.da))
+
+
+def dsum(x: Dual, axis: int) -> Dual:
+    """Sum over a COMPONENT axis (positive index, before the tangent/T
+    axes)."""
+    s = lambda a: None if a is None else jnp.sum(a, axis=axis)
+    return Dual(jnp.sum(x.val, axis=axis), s(x.dq), s(x.dv), s(x.da))
+
+
+def dexpand(x: Dual, axis: int) -> Dual:
+    e = lambda a: None if a is None else jnp.expand_dims(a, axis)
+    return Dual(jnp.expand_dims(x.val, axis), e(x.dq), e(x.dv), e(x.da))
+
+
+def dslice(x: Dual, axis: int, lo: int, hi: int) -> Dual:
+    s = lambda a: None if a is None else jax.lax.slice_in_dim(
+        a, lo, hi, axis=axis)
+    return Dual(jax.lax.slice_in_dim(x.val, lo, hi, axis=axis),
+                s(x.dq), s(x.dv), s(x.da))
+
+
+def dindex(x: Dual, axis: int, i: int) -> Dual:
+    sq = lambda a: None if a is None else jnp.squeeze(a, axis=axis)
+    y = dslice(x, axis, i, i + 1)
+    return Dual(jnp.squeeze(y.val, axis=axis), sq(y.dq), sq(y.dv),
+                sq(y.da))
+
+
+def dcat(parts, axis: int) -> Dual:
+    def tan(blocks, vals):
+        if all(b is None for b in blocks):
+            return None
+        out = []
+        for b, v in zip(blocks, vals):
+            if b is None:
+                nv_T = next(x for x in blocks if x is not None).shape[-2:]
+                b = jnp.zeros(v.shape[:-1] + nv_T, v.dtype)
+            out.append(b)
+        return jnp.concatenate(out, axis=axis)
+
+    vals = [p.val for p in parts]
+    return Dual(jnp.concatenate(vals, axis=axis),
+                tan([p.dq for p in parts], vals),
+                tan([p.dv for p in parts], vals),
+                tan([p.da for p in parts], vals))
+
+
+def dstack(parts, axis: int = 0) -> Dual:
+    return dcat([dexpand(p, axis) for p in parts], axis)
+
+
+def dcross(a: Dual, b: Dual, axis: int) -> Dual:
+    """3D cross product along component `axis`."""
+    ai = lambda i: dindex(a, axis, i)
+    bi = lambda i: dindex(b, axis, i)
+    z = [dsub(dmul(ai(1), bi(2)), dmul(ai(2), bi(1))),
+         dsub(dmul(ai(2), bi(0)), dmul(ai(0), bi(2))),
+         dsub(dmul(ai(0), bi(1)), dmul(ai(1), bi(0)))]
+    return dstack(z, axis)
+
+
+def drotate(R: Dual, x: Dual, raxis: int) -> Dual:
+    """R @ x where R has component dims (..., 3, 3) at (raxis, raxis+1)
+    and x has (..., 3) at raxis."""
+    return dsum(dmul(R, dexpand(x, raxis)), raxis + 1)
+
+
+def drotate_T(R: Dual, x: Dual, raxis: int) -> Dual:
+    """R^T @ x."""
+    return dsum(dmul(R, dexpand(x, raxis + 1)), raxis)
+
+
+def dmotion_xinv(R: Dual, p: Dual, m: Dual, axis: int) -> Dual:
+    """motion_transform_inv (ops/spatial.py:47): parent -> child frame.
+    R/p/m component dims start at `axis` (R (3,3), p (3,), m (6,))."""
+    l = dslice(m, axis, 0, 3)
+    w = dslice(m, axis, 3, 6)
+    l2 = dsub(l, dcross(p, w, axis))
+    return dcat([drotate_T(R, l2, axis), drotate_T(R, w, axis)], axis)
+
+
+def dmotion_cross(v: Dual, m: Dual, axis: int) -> Dual:
+    lv, wv = dslice(v, axis, 0, 3), dslice(v, axis, 3, 6)
+    lm, wm = dslice(m, axis, 0, 3), dslice(m, axis, 3, 6)
+    top = dadd(dcross(wv, lm, axis), dcross(lv, wm, axis))
+    return dcat([top, dcross(wv, wm, axis)], axis)
+
+
+def dforce_cross(v: Dual, f: Dual, axis: int) -> Dual:
+    lv, wv = dslice(v, axis, 0, 3), dslice(v, axis, 3, 6)
+    lf, wf = dslice(f, axis, 0, 3), dslice(f, axis, 3, 6)
+    bot = dadd(dcross(wv, wf, axis), dcross(lv, lf, axis))
+    return dcat([dcross(wv, lf, axis), bot], axis)
+
+
+def dforce_xfm(R: Dual, p: Dual, f: Dual, axis: int) -> Dual:
+    """force_transform (ops/spatial.py:56): child -> parent frame."""
+    lf = drotate(R, dslice(f, axis, 0, 3), axis)
+    wf = drotate(R, dslice(f, axis, 3, 6), axis)
+    return dcat([lf, dadd(wf, dcross(p, lf, axis))], axis)
+
+
+def dinertia_apply(mass, com, Io, v: Dual, axis: int) -> Dual:
+    """Spatial inertia (const blocks (k, ...) planes) applied to a dual
+    motion (ops/spatial.py:72)."""
+    l, w = dslice(v, axis, 0, 3), dslice(v, axis, 3, 6)
+    mc = Dual(com * mass)                      # (k, 3, 1) const plane
+    f = dsub(cmul(mass, l), dcross(mc, w, axis))
+    n = dadd(drotate(Dual(Io), w, axis), dcross(mc, l, axis))
+    return dcat([f, n], axis)
+
+
+def dmatmul3(A: Dual, B: Dual, axis: int) -> Dual:
+    """(..., 3, 3) @ (..., 3, 3) with component dims at (axis, axis+1)."""
+    return dsum(dmul(dexpand(A, axis + 2), dexpand(B, axis)), axis + 1)
+
+
+def one_hot_rows(nv, idxs, dt):
+    """(len(idxs), nv, 1): row j is the one-hot of idxs[j], iota-built (a
+    Pallas kernel cannot capture array constants)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
+    rows = [(i == int(ix)).astype(dt) for ix in idxs]
+    return jnp.concatenate(rows, axis=0)[..., None]
+
+# ---------------------------------------------------------------------------
+# Static chain description (python-level: controls unrolling, not traced)
+# ---------------------------------------------------------------------------
+
+class ChainMeta(NamedTuple):
+    nq: int
+    nv: int
+    nj: int
+    nf: int
+    nc: int
+    ncone: int
+    levels: tuple          # ((jtype, (joint ids, ...)), ...)
+    parents: tuple
+    v_offs: tuple
+    q_offs: tuple
+    cpar: tuple            # contact -> parent joint
+    total_mass: float
+
+
+def chain_meta(model, contacts) -> ChainMeta:
+    levels = tuple((jt, tuple(idxs)) for jt, idxs in rm.chain_levels(model))
+    cpar = tuple(model.frame_parents[f] for f in contacts.frame_ids)
+    return ChainMeta(
+        nq=model.nq, nv=model.nv, nj=model.nj, nf=contacts.max_dimf,
+        nc=contacts.n_contacts, ncone=contacts.dimc_cone,
+        levels=levels, parents=tuple(model.parents),
+        v_offs=tuple(model.v_offs), q_offs=tuple(model.q_offs),
+        cpar=cpar, total_mass=float(np.sum(np.asarray(model.mass))))
+
+
+def chain_supported(model, contacts) -> bool:
+    """Point contacts only; free/revolute/prismatic joints."""
+    from ..models import contacts as ct
+    return (all(t == ct.POINT for t in contacts.types)
+            and contacts.n_contacts > 0)
+
+
+def _rows(ref, idxs):
+    """Static gather of rows idxs from a 2D+ const ref value."""
+    x = ref[...]
+    parts = [jax.lax.slice_in_dim(x, int(i), int(i) + 1, axis=0)
+             for i in idxs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _hat_const(ax):
+    """(k, 3, [1...]) axis -> (k, 3, 3, [1...]) hat matrix, concat-built."""
+    z = jnp.zeros_like(jax.lax.slice_in_dim(ax, 0, 1, axis=1))
+    a0 = jax.lax.slice_in_dim(ax, 0, 1, axis=1)
+    a1 = jax.lax.slice_in_dim(ax, 1, 2, axis=1)
+    a2 = jax.lax.slice_in_dim(ax, 2, 3, axis=1)
+    row0 = jnp.concatenate([z, -a2, a1], axis=1)
+    row1 = jnp.concatenate([a2, z, -a0], axis=1)
+    row2 = jnp.concatenate([-a1, a0, z], axis=1)
+    return jnp.stack([row0, row1, row2], axis=1)
+
+
+def _row(x, i):
+    """x[i] on axis 0 via slice+squeeze (int indexing lowers to gather)."""
+    return jnp.squeeze(jax.lax.slice_in_dim(x, i, i + 1, axis=0), axis=0)
+
+
+def _vmatmul(A, B, axis):
+    """Value-only matmul on (..., 3, 3) planes at (axis, axis+1)."""
+    return jnp.sum(jnp.expand_dims(A, axis + 2) * jnp.expand_dims(B, axis),
+                   axis=axis + 1)
+
+
+def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
+                  pref_ref,
+                  XR_ref, Xp_ref, ax_ref, mass_ref, com_ref, I_ref,
+                  g3_ref, fR_ref, fp_ref, kp_ref, kv_ref,
+                  tau_ref, dtauq_ref, dtauv_ref, M_ref,
+                  C_ref, dCq_ref, dCv_ref, J_ref,
+                  gc_ref, dgdq_ref, dgdf_ref, task_ref, dtask_ref):
+    nv, nj, nc = meta.nv, meta.nj, meta.nc
+    dt = q_ref.dtype
+    T = q_ref.shape[-1]
+    q = q_ref[...]
+    v = v_ref[...]
+    a = a_ref[...]
+
+    def sl(x, lo, hi):
+        return jax.lax.slice_in_dim(x, lo, hi, axis=0)
+
+    def rows_of(x, idxs):
+        parts = [sl(x, int(i), int(i) + 1) for i in idxs]
+        return (parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=0))
+
+    PL_R = [None] * nj
+    PL_p = [None] * nj
+    VS = [None] * nj
+    AS = [None] * nj
+    RS = [None] * nj
+    PS = [None] * nj
+
+    for jt, idxs in meta.levels:
+        k = len(idxs)
+        XRk = _rows(XR_ref, idxs)[..., None]          # (k, 3, 3, 1)
+        Xpk = _rows(Xp_ref, idxs)[..., None]          # (k, 3, 1)
+        pars = [meta.parents[j] for j in idxs]
+        voffs = [meta.v_offs[j] for j in idxs]
+        if jt == FREE:
+            qo, vo = meta.q_offs[idxs[0]], meta.v_offs[idxs[0]]
+            x_, y_, z_, w_ = (sl(q, qo + 3, qo + 4), sl(q, qo + 4, qo + 5),
+                              sl(q, qo + 5, qo + 6), sl(q, qo + 6, qo + 7))
+            xx, yy, zz = x_ * x_, y_ * y_, z_ * z_
+            xy, xz, yz = x_ * y_, x_ * z_, y_ * z_
+            wx, wy, wz = w_ * x_, w_ * y_, w_ * z_
+            one = jnp.ones_like(x_)
+            r0 = jnp.stack([one - 2 * (yy + zz), 2 * (xy - wz),
+                            2 * (xz + wy)], axis=1)
+            r1 = jnp.stack([2 * (xy + wz), one - 2 * (xx + zz),
+                            2 * (yz - wx)], axis=1)
+            r2 = jnp.stack([2 * (xz - wy), 2 * (yz + wx),
+                            one - 2 * (xx + yy)], axis=1)
+            Rq = jnp.concatenate([r0, r1, r2], axis=0)[None]   # (1,3,3,T)
+            Rl_val = _vmatmul(XRk, Rq, 1)                      # (1,3,3,T)
+            pq = sl(q, qo, qo + 3)[None]                       # (1,3,T)
+            pl_val = (jnp.sum(XRk * pq[:, None], axis=2) + Xpk)
+            # tangents: dR/dw_i = R hat(e_i) -> columns (0, R[:,2], -R[:,1])
+            # etc; dp/dlin_j = R[:, j] (robot.integrate: p' = p + R dp)
+            Rcol = lambda j: jax.lax.slice_in_dim(Rl_val, j, j + 1, axis=2)
+            zc = jnp.zeros_like(Rcol(0))
+            dR = [jnp.concatenate([zc, Rcol(2), -Rcol(1)], axis=2),
+                  jnp.concatenate([-Rcol(2), zc, Rcol(0)], axis=2),
+                  jnp.concatenate([Rcol(1), -Rcol(0), zc], axis=2)]
+            rot_hots = one_hot_rows(nv, [vo + 3, vo + 4, vo + 5], dt)
+            dq_R = sum(dR[i][:, :, :, None, :]
+                       * _row(rot_hots, i)[None, None, None]
+                       for i in range(3))                      # (1,3,3,nv,T)
+            lin_hots = one_hot_rows(nv, [vo, vo + 1, vo + 2], dt)
+            dq_p = sum(jnp.squeeze(Rcol(j), axis=2)[:, :, None, :]
+                       * _row(lin_hots, j)[None, None]
+                       for j in range(3))                      # (1,3,nv,T)
+            Rl = Dual(Rl_val, dq_R)
+            pl = Dual(pl_val, dq_p)
+            # velocity / acceleration seeds (local twist components)
+            vJ_val = sl(v, vo, vo + 6)[None]                   # (1,6,T)
+            aJ_val = sl(a, vo, vo + 6)[None]
+            hots6 = one_hot_rows(nv, [vo + i for i in range(6)], dt)
+            eye6 = hots6[None]                                 # (1,6,nv,1)
+            vJ = Dual(vJ_val, None, eye6 * jnp.ones((1, 1, 1, T), dt),
+                      None)
+            aJ = Dual(aJ_val, None, None,
+                      eye6 * jnp.ones((1, 1, 1, T), dt))
+        else:
+            qoffs = [meta.q_offs[j] for j in idxs]
+            axk = _rows(ax_ref, idxs)[..., None]               # (k, 3, 1)
+            qi = jnp.concatenate([sl(q, o, o + 1) for o in qoffs],
+                                 axis=0)                       # (k, T)
+            vi_s = jnp.concatenate([sl(v, meta.v_offs[j],
+                                       meta.v_offs[j] + 1)
+                                    for j in idxs], axis=0)
+            ai_s = jnp.concatenate([sl(a, meta.v_offs[j],
+                                       meta.v_offs[j] + 1)
+                                    for j in idxs], axis=0)
+            hots = one_hot_rows(nv, voffs, dt)                 # (k, nv, 1)
+            if jt == REVOLUTE:
+                s_, c_ = jnp.sin(qi), jnp.cos(qi)              # (k, T)
+                hat_a = _hat_const(axk)                        # (k,3,3,1)
+                aaT = axk[:, :, None] * axk[:, None, :]        # (k,3,3,1)
+                ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+                eye3 = (ri == ci).astype(dt)[None, :, :, None]
+                Rj = (eye3 * c_[:, None, None]
+                      + hat_a * s_[:, None, None]
+                      + aaT * (1.0 - c_)[:, None, None])       # (k,3,3,T)
+                Rl_val = _vmatmul(XRk, Rj, 1)
+                pl_val = Xpk * jnp.ones((1, 1, T), dt)
+                dR_dq = _vmatmul(Rl_val, hat_a, 1)             # (k,3,3,T)
+                dq_R = dR_dq[:, :, :, None, :] * hots[:, None, None]
+                Rl = Dual(Rl_val, dq_R)
+                pl = Dual(pl_val)
+                zk3 = jnp.zeros((k, 3, T), dt)
+                vJ_val = jnp.concatenate(
+                    [zk3, axk * vi_s[:, None]], axis=1)        # (k,6,T)
+                aJ_val = jnp.concatenate(
+                    [zk3, axk * ai_s[:, None]], axis=1)
+                ax6 = jnp.concatenate([jnp.zeros_like(axk), axk], axis=1)
+                tan6 = (ax6[:, :, None] * hots[:, None]
+                        * jnp.ones((1, 1, 1, T), dt))          # (k,6,nv,T)
+                vJ = Dual(vJ_val, None, tan6, None)
+                aJ = Dual(aJ_val, None, None, tan6)
+            else:                                              # PRISMATIC
+                Rl_val = XRk * jnp.ones((1, 1, 1, T), dt)
+                pl_val = Xpk + axk * qi[:, None]
+                dq_p = (axk[:, :, None] * hots[:, None]
+                        * jnp.ones((1, 1, 1, T), dt))
+                Rl = Dual(Rl_val)
+                pl = Dual(pl_val, dq_p)
+                zk3 = jnp.zeros((k, 3, T), dt)
+                vJ_val = jnp.concatenate(
+                    [axk * vi_s[:, None], zk3], axis=1)
+                aJ_val = jnp.concatenate(
+                    [axk * ai_s[:, None], zk3], axis=1)
+                ax6 = jnp.concatenate([axk, jnp.zeros_like(axk)], axis=1)
+                tan6 = (ax6[:, :, None] * hots[:, None]
+                        * jnp.ones((1, 1, 1, T), dt))
+                vJ = Dual(vJ_val, None, tan6, None)
+                aJ = Dual(aJ_val, None, None, tan6)
+        if pars[0] < 0:
+            vi = vJ
+            ai = dadd(aJ, dmotion_cross(vi, vJ, 1))
+            Rw, pw = Rl, pl
+        else:
+            vpar = dstack([VS[p] for p in pars], 0)
+            apar = dstack([AS[p] for p in pars], 0)
+            Rpar = dstack([RS[p] for p in pars], 0)
+            Ppar = dstack([PS[p] for p in pars], 0)
+            vi = dadd(dmotion_xinv(Rl, pl, vpar, 1), vJ)
+            ai = dadd(dadd(dmotion_xinv(Rl, pl, apar, 1), aJ),
+                      dmotion_cross(vi, vJ, 1))
+            Rw = dmatmul3(Rpar, Rl, 1)
+            pw = dadd(drotate(Rpar, pl, 1), Ppar)
+        for j_i, j in enumerate(idxs):
+            PL_R[j] = dindex(Rl, 0, j_i)
+            PL_p[j] = dindex(pl, 0, j_i)
+            VS[j] = dindex(vi, 0, j_i)
+            AS[j] = dindex(ai, 0, j_i)
+            RS[j] = dindex(Rw, 0, j_i)
+            PS[j] = dindex(pw, 0, j_i)
+
+    # ---- joint forces from the contact stack (no tangents) -------------
+    f = f_ref[...]                                             # (nf, T)
+    fR_all = fR_ref[...]
+    fp_all = fp_ref[...]
+    f_joint_val = [None] * nj
+    for c in range(nc):
+        pj = meta.cpar[c]
+        fc = sl(f, 3 * c, 3 * c + 3)                           # (3, T)
+        fRc = _row(fR_all, c)[..., None]                       # (3, 3, 1)
+        fpc = _row(fp_all, c)[..., None]                       # (3, 1)
+        lf = jnp.sum(fRc * fc[None], axis=1)                   # (3, T)
+        p0, p1, p2 = (_row(fpc, 0), _row(fpc, 1), _row(fpc, 2))
+        l0, l1, l2 = (_row(lf, 0), _row(lf, 1), _row(lf, 2))
+        wf = jnp.stack([p1 * l2 - p2 * l1, p2 * l0 - p0 * l2,
+                        p0 * l1 - p1 * l0], axis=0)
+        fj = jnp.concatenate([lf, wf], axis=0)                 # (6, T)
+        f_joint_val[pj] = fj if f_joint_val[pj] is None \
+            else f_joint_val[pj] + fj
+
+    # ---- RNEA backward: net forces, child-to-parent, torque rows -------
+    g3 = g3_ref[...]                                           # (3, 1)
+    FS = [None] * nj
+    for j in range(nj):
+        # gravity offset: GP_j = (R_wj^T (-g), 0) exactly
+        gl = drotate_T(RS[j], Dual(-g3 * jnp.ones((1, T), dt)), 0)
+        a_tot = dadd(AS[j], dcat(
+            [gl, Dual(jnp.zeros((3, T), dt))], 0))
+        mass_j = jax.lax.slice_in_dim(mass_ref[...], j, j + 1, axis=0)  # (1,1)
+        com_j = _row(com_ref[...], j)[..., None]
+        Io_j = _row(I_ref[...], j)[..., None]
+        Fj = dadd(dinertia_apply(mass_j, com_j, Io_j, a_tot, 0),
+                  dforce_cross(VS[j],
+                               dinertia_apply(mass_j, com_j, Io_j,
+                                              VS[j], 0), 0))
+        if f_joint_val[j] is not None:
+            Fj = dsub(Fj, Dual(f_joint_val[j]))
+        FS[j] = Fj
+
+    tau_rows = [None] * nv
+    for jt, idxs in reversed(meta.levels):
+        for j in idxs:
+            vo = meta.v_offs[j]
+            if jt == FREE:
+                for r in range(6):
+                    tau_rows[vo + r] = dindex(FS[j], 0, r)
+            elif jt == REVOLUTE:
+                axj = Dual(_row(ax_ref[...], j)[..., None])
+                tau_rows[vo] = dsum(dmul(dslice(FS[j], 0, 3, 6), axj), 0)
+            else:
+                axj = Dual(_row(ax_ref[...], j)[..., None])
+                tau_rows[vo] = dsum(dmul(dslice(FS[j], 0, 0, 3), axj), 0)
+            p = meta.parents[j]
+            if p >= 0:
+                FS[p] = dadd(FS[p],
+                             dforce_xfm(PL_R[j], PL_p[j], FS[j], 0))
+    tau = dstack(tau_rows, 0)                                  # (nv, ...)
+
+    # ---- contacts: Baumgarte residual, cones, task rows ----------------
+    kp = kp_ref[...][..., None]                                # (nc, 1)
+    kv = kv_ref[...][..., None]
+    fric = fric_ref[...]                                       # (nc, T)
+    p_ref_in = pref_ref[...]                                   # (nc, 3, T)
+    VSc = dstack([VS[p] for p in meta.cpar], 0)                # (nc, 6, ..)
+    ASc = dstack([AS[p] for p in meta.cpar], 0)
+    RSc = dstack([RS[p] for p in meta.cpar], 0)
+    PSc = dstack([PS[p] for p in meta.cpar], 0)
+    fRc = Dual(fR_all[..., None])                              # (nc,3,3,1)
+    fpc = Dual(fp_all[..., None])
+    vf = dmotion_xinv(fRc, fpc, VSc, 1)
+    af = dmotion_xinv(fRc, fpc, ASc, 1)
+    Rwc = dmatmul3(RSc, fRc, 1)                                # (nc,3,3,..)
+    pwc = dadd(drotate(RSc, fpc, 1), PSc)
+    vf_l, vf_w = dslice(vf, 1, 0, 3), dslice(vf, 1, 3, 6)
+    a_cl = dadd(dslice(af, 1, 0, 3), dcross(vf_w, vf_l, 1))
+    C = dadd(dadd(a_cl, cmul(kv, vf_l)),
+             cmul(kp, dsub(pwc, Dual(p_ref_in))))              # (nc, 3, ..)
+    # cone rows: C_m(fric) @ (R_w f_local); C_m value-only
+    c_ = fric / jnp.sqrt(jnp.asarray(2.0, dt))                 # (nc, T)
+    z_ = jnp.zeros_like(c_)
+    o_ = jnp.ones_like(c_)
+    Cm = jnp.stack([
+        jnp.stack([z_, z_, -o_], axis=1),
+        jnp.stack([o_, z_, -c_], axis=1),
+        jnp.stack([-o_, z_, -c_], axis=1),
+        jnp.stack([z_, o_, -c_], axis=1),
+        jnp.stack([z_, -o_, -c_], axis=1),
+    ], axis=1)                                                 # (nc,5,3,T)
+    fl = jnp.stack([sl(f, 3 * c, 3 * c + 3) for c in range(nc)],
+                   axis=0)                                     # (nc,3,T)
+    fW = drotate(Rwc, Dual(fl), 1)                             # (nc,3,..)
+    g_cone = dsum(dmul(Dual(Cm), dexpand(fW, 1)), 2)           # (nc,5,..)
+    # dgdf[r, j] = sum_k Cm[r, k] Rw[k, j]
+    dgdf_blocks = jnp.sum(Cm[:, :, :, None] * Rwc.val[:, None],
+                          axis=2)                              # (nc,5,3,T)
+    # task rows: contact-frame world positions + CoM
+    com_all = com_ref[...][..., None]                          # (nj, 3, 1)
+    mass_all = mass_ref[...]
+    acc = None
+    for j in range(nj):
+        cj = Dual(_row(com_all, j))
+        mj = jax.lax.slice_in_dim(mass_all, j, j + 1, axis=0)    # (1, 1)
+        ci = dadd(drotate(RS[j], cj, 0), PS[j])
+        term = cmul(mj, ci)
+        acc = term if acc is None else dadd(acc, term)
+    com = cmul(1.0 / meta.total_mass, acc)                     # (3, ..)
+
+    # ---- outputs --------------------------------------------------------
+    def flatten2(x: Dual):
+        """(d0, d1, [nv,] T) -> (d0*d1, [nv,] T)."""
+        rs = lambda a: None if a is None else a.reshape(
+            (-1,) + a.shape[2:])
+        return Dual(x.val.reshape((-1,) + x.val.shape[2:]),
+                    rs(x.dq), rs(x.dv), rs(x.da))
+
+    bc_nv = lambda a: jnp.broadcast_to(
+        a, a.shape[:-2] + (nv, T)) if a is not None else None
+    zeros_t = lambda d: jnp.zeros((d, nv, T), dt)
+
+    tau_ref[...] = tau.val
+    dtauq_ref[...] = bc_nv(tau.dq)
+    dtauv_ref[...] = bc_nv(tau.dv)
+    M_ref[...] = bc_nv(tau.da)
+    Cf = flatten2(C)
+    C_ref[...] = Cf.val
+    dCq_ref[...] = bc_nv(Cf.dq)
+    dCv_ref[...] = bc_nv(Cf.dv)
+    J_ref[...] = bc_nv(Cf.da)
+    gf = flatten2(g_cone)
+    gc_ref[...] = gf.val
+    dgdq_ref[...] = bc_nv(gf.dq) if gf.dq is not None \
+        else zeros_t(meta.ncone)
+    # block-diagonal force Jacobian (nc 5x3 blocks)
+    rows = []
+    for c in range(nc):
+        blk = _row(dgdf_blocks, c)                             # (5,3,T)
+        pre = jnp.zeros((5, 3 * c, T), dt)
+        post = jnp.zeros((5, meta.nf - 3 * c - 3, T), dt)
+        parts = [x for x in (pre, blk, post) if x.shape[1] > 0]
+        rows.append(parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=1))
+    dgdf_ref[...] = jnp.concatenate(rows, axis=0)
+    feet = flatten2(pwc)                                       # (3nc, ..)
+    task = dcat([feet, com], 0)
+    task_ref[...] = task.val
+    dtask_ref[...] = bc_nv(task.dq)
+
+# ---------------------------------------------------------------------------
+# pallas_call wrapper + fleet-vmap entry
+# ---------------------------------------------------------------------------
+
+_OUTS = ("tau", "dtau_dq", "dtau_dv", "M", "C", "dCdq", "dCdv", "J",
+         "g", "dgdq", "dgdf", "task", "dtask")
+
+
+def _out_shapes(meta: ChainMeta):
+    nv, nf, ncone = meta.nv, meta.nf, meta.ncone
+    ntask = 3 * meta.nc + 3
+    return {"tau": (nv,), "dtau_dq": (nv, nv), "dtau_dv": (nv, nv),
+            "M": (nv, nv), "C": (nf,), "dCdq": (nf, nv),
+            "dCdv": (nf, nv), "J": (nf, nv), "g": (ncone,),
+            "dgdq": (ncone, nv), "dgdf": (ncone, nf),
+            "task": (ntask,), "dtask": (ntask, nv)}
+
+
+def _block_spec(shape_head, tile):
+    nd = len(shape_head)
+    return pl.BlockSpec(shape_head + (tile,),
+                        (lambda i: (0,) * nd + (i,)),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, (lambda i: (0,) * nd),
+                        memory_space=pltpu.VMEM)
+
+
+def _chain_flat(meta: ChainMeta, consts, interpret, q, v, a, f_eff,
+                fric, p_ref):
+    """Batch-first (S, ...) -> dict of batch-first outputs."""
+    S = q.shape[0]
+    S_pad = -(-S // TILE) * TILE
+    dt = q.dtype
+
+    def to_lanes(x):
+        if x.shape[0] != S_pad:
+            x = jnp.pad(x, [(0, S_pad - S)] + [(0, 0)] * (x.ndim - 1))
+        return jnp.moveaxis(x, 0, -1)
+
+    # padded stages: unit quaternion keeps the base rotation finite (the
+    # rest of the chain is polynomial in its inputs — no NaN sources)
+    if S_pad != S and meta.nq > meta.nv:
+        qpad = jnp.zeros((S_pad - S, meta.nq), dt).at[:, 6].set(1.0)
+        q = jnp.concatenate([q, qpad], axis=0)
+    ins = [to_lanes(x) for x in (q, v, a, f_eff, fric, p_ref)]
+    in_specs = [_block_spec(x.shape[:-1], TILE) for x in ins]
+    in_specs += [_const_spec(c.shape) for c in consts]
+    shapes = _out_shapes(meta)
+    out_specs = tuple(_block_spec(shapes[n], TILE) for n in _OUTS)
+    out_shape = tuple(jax.ShapeDtypeStruct(shapes[n] + (S_pad,), dt)
+                      for n in _OUTS)
+    outs = pl.pallas_call(
+        functools.partial(_chain_kernel, meta),
+        grid=(S_pad // TILE,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins, *consts)
+    return {n: jnp.moveaxis(o, -1, 0)[:S] for n, o in zip(_OUTS, outs)}
+
+
+def make_chain(model, contacts, interpret=False):
+    """Returns fn(q, v, a, f_eff, fric, p_ref) over batch-first (S, ...)
+    arrays -> dict; custom-vmapped so the MPC fleet batch flattens into
+    the stage/lane axis."""
+    meta = chain_meta(model, contacts)
+    dt = model.dtype
+    consts = (
+        jnp.asarray(model.Xtree_R, dt), jnp.asarray(model.Xtree_p, dt),
+        jnp.asarray(model.axis, dt),
+        jnp.asarray(model.mass, dt)[:, None],      # 1-D consts -> 2-D
+        jnp.asarray(model.com, dt), jnp.asarray(model.inertia, dt),
+        jnp.asarray(model.gravity, dt)[:, None],
+        jnp.asarray(np.stack([np.asarray(model.frame_R[f])
+                              for f in contacts.frame_ids]), dt),
+        jnp.asarray(np.stack([np.asarray(model.frame_p[f])
+                              for f in contacts.frame_ids]), dt),
+        jnp.asarray(contacts.kp, dt)[:, None],
+        jnp.asarray(contacts.kv, dt)[:, None])
+
+    @jax.custom_batching.custom_vmap
+    def call(q, v, a, f_eff, fric, p_ref):
+        out = _chain_flat(meta, consts, interpret, q, v, a, f_eff,
+                          fric, p_ref)
+        return tuple(out[n] for n in _OUTS)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        flat = []
+        for x, b in zip(args, in_batched):
+            if b:
+                flat.append(x.reshape((axis_size * x.shape[1],)
+                                      + x.shape[2:]))
+            else:
+                bc = jnp.broadcast_to(x, (axis_size,) + x.shape)
+                flat.append(bc.reshape((axis_size * x.shape[0],)
+                                       + x.shape[1:]))
+        outs = call(*flat)
+        outs = tuple(o.reshape((axis_size, -1) + o.shape[1:]) for o in outs)
+        return outs, tuple(True for _ in outs)
+
+    def fn(q, v, a, f_eff, fric, p_ref):
+        out = call(q, v, a, f_eff, fric, p_ref)
+        return dict(zip(_OUTS, out))
+
+    return fn
+
+
+_CHAIN_CACHE = {}
+
+
+def get_chain(model, contacts):
+    """Cached per (model, contacts) identity; Mosaic on TPU, interpreter
+    on CPU (tests)."""
+    interpret = jax.default_backend() == "cpu"
+    key = (id(model), id(contacts), interpret)
+    if key not in _CHAIN_CACHE:
+        _CHAIN_CACHE[key] = make_chain(model, contacts,
+                                       interpret=interpret)
+    return _CHAIN_CACHE[key]

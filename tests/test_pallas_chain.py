@@ -1,0 +1,81 @@
+"""Pallas chain kernel vs the XLA jacfwd chain (models/contacts).
+
+The hand-propagated structured tangents must reproduce
+fused_stage_derivatives exactly: values, q/v/a Jacobians, cone rows and
+task rows, on random ANYmal states. Interpreter mode on CPU (f64); the
+compiled path is exercised by bench.py on TPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robotoc_tpu.models import load_robot
+from robotoc_tpu.models import contacts as ct
+from robotoc_tpu.models import robot as rm
+from robotoc_tpu.ops import pallas_chain as pch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = load_robot("anymal")
+    contacts = ct.make_contacts(
+        m, ("LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"))
+    return m, contacts
+
+
+def _random_states(m, contacts, S, key):
+    ks = jax.random.split(key, 5)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0],
+                     m.dtype)
+    dq = 0.4 * jax.random.normal(ks[0], (S, m.nv), m.dtype)
+    q = jax.vmap(lambda d: rm.integrate(m, q0, d))(dq)
+    v = jax.random.normal(ks[1], (S, m.nv), m.dtype)
+    a = jax.random.normal(ks[2], (S, m.nv), m.dtype)
+    f = 30.0 * jax.random.normal(ks[3], (S, contacts.max_dimf), m.dtype)
+    fric = 0.5 + 0.3 * jax.random.uniform(ks[4], (S, contacts.n_contacts),
+                                          dtype=m.dtype)
+    p_ref = 0.3 * jax.random.normal(ks[4], (S, contacts.n_contacts, 3),
+                                    m.dtype)
+    return q, v, a, f, fric, p_ref
+
+
+def test_chain_matches_jacfwd(setup):
+    m, contacts = setup
+    S = 7
+    q, v, a, f, fric, p_ref = _random_states(m, contacts, S,
+                                             jax.random.PRNGKey(0))
+    fn = pch.get_chain(m, contacts)
+    out = jax.jit(fn)(q, v, a, f, fric, p_ref)
+
+    def ref_one(qq, vv, aa, ff, fr, pr):
+        res = ct.fused_stage_derivatives(m, contacts, qq, vv, aa, ff,
+                                         fr, pr, None, with_task=True)
+        ((tau, C, g, dgdf), (dIDdq, dIDdv, M),
+         (dCdq, dCdv, J), dgdq) = res[:4]
+        task, dtask = res[4]
+        return dict(tau=tau, dtau_dq=dIDdq, dtau_dv=dIDdv, M=M, C=C,
+                    dCdq=dCdq, dCdv=dCdv, J=J, g=g, dgdq=dgdq,
+                    dgdf=dgdf, task=task, dtask=dtask)
+
+    ref = jax.jit(jax.vmap(ref_one))(q, v, a, f, fric, p_ref)
+    for name in out:
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref[name]),
+            rtol=1e-8, atol=1e-9, err_msg=name)
+
+
+def test_chain_under_fleet_vmap(setup):
+    m, contacts = setup
+    B, S = 3, 4
+    q, v, a, f, fric, p_ref = _random_states(m, contacts, B * S,
+                                             jax.random.PRNGKey(1))
+    rs = lambda x: x.reshape((B, S) + x.shape[1:])
+    fn = pch.get_chain(m, contacts)
+    flat = jax.jit(fn)(q, v, a, f, fric, p_ref)
+    nested = jax.jit(jax.vmap(fn))(rs(q), rs(v), rs(a), rs(f), rs(fric),
+                                   rs(p_ref))
+    for name in flat:
+        np.testing.assert_allclose(
+            np.asarray(nested[name]).reshape(flat[name].shape),
+            np.asarray(flat[name]), rtol=1e-12, err_msg=name)

@@ -76,11 +76,14 @@ class StageBlocks(NamedTuple):
 def stage_pre(model, contacts, costs, limits, t, dt, barrier,
               q, v, a, u, f, beta, mu, lmd, gmm, lmd_n, gmm_n,
               q_n, v_n, s_lim, z_lim, s_cone, z_cone,
-              cmask, p_ref, fric, R_ref=None):
+              cmask, p_ref, fric, R_ref=None, chain_out=None):
     """Everything BEFORE the dense condensing: fused kinematic chain
     derivatives, cost quadratization, PDIPM condensing vectors, state
     equation, full-KKT diagnostics. Returns the condense-kernel input
-    dict (ops/pallas_condense._IN_SPECS) plus aux fields ("aux_*")."""
+    dict (ops/pallas_condense._IN_SPECS) plus aux fields ("aux_*").
+    chain_out: precomputed chain kernel outputs (ops/pallas_chain) for
+    this grid — the batched Pallas path computes them once for ALL
+    stages at the _build level."""
     nv, nu_dim = model.nv, model.dimu
     nf = contacts.max_dimf
     dtype = q.dtype
@@ -90,19 +93,29 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
     # ---- dynamics + contacts + cone: ONE fused kinematic chain ---------
     # (inverse dynamics residual, Baumgarte residual, friction-cone values
     # and all Jacobians from a single forward sweep + one 3nv-tangent
-    # jacfwd; models/contacts.py fused_stage_derivatives). Task-cost
-    # kinematics (feet + CoM rows) ride the SAME chain when the cost
-    # stack opts in (kin_frame_ids == the contact frames).
+    # jacfwd; models/contacts.py fused_stage_derivatives — or the Pallas
+    # structured-tangent kernel via chain_out). Task-cost kinematics
+    # (feet + CoM rows) ride the SAME chain when the cost stack opts in
+    # (kin_frame_ids == the contact frames).
     f_eff = f * rowmask
     Sact = jnp.zeros((nu_dim, nv), dtype).at[:, nv - nu_dim:].set(
         jnp.eye(nu_dim, dtype=dtype))               # maps full->actuated
     fold = cost_base.kin_fold_frames(costs) == contacts.frame_ids
-    out = ct.fused_stage_derivatives(
-        model, contacts, q, v, a, f_eff, fric, p_ref, R_ref,
-        with_task=fold)
-    ((tau, C_raw, g_cone, dgdf), (dIDdq, dIDdv, M),
-     (dCdq, dCdv, J), dgdq) = out[:4]
-    kin = (contacts.frame_ids,) + out[4] if fold else None
+    if chain_out is not None:
+        co = chain_out
+        tau, C_raw, g_cone, dgdf = co["tau"], co["C"], co["g"], co["dgdf"]
+        dIDdq, dIDdv, M = co["dtau_dq"], co["dtau_dv"], co["M"]
+        dCdq, dCdv, J = co["dCdq"], co["dCdv"], co["J"]
+        dgdq = co["dgdq"]
+        kin = ((contacts.frame_ids, co["task"], co["dtask"])
+               if fold else None)
+    else:
+        out = ct.fused_stage_derivatives(
+            model, contacts, q, v, a, f_eff, fric, p_ref, R_ref,
+            with_task=fold)
+        ((tau, C_raw, g_cone, dgdf), (dIDdq, dIDdv, M),
+         (dCdq, dCdv, J), dgdq) = out[:4]
+        kin = (contacts.frame_ids,) + out[4] if fold else None
     ID_res = tau - Sact.T @ u
     C_res = C_raw * rowmask
     dCdq = dCdq * rowmask[:, None]

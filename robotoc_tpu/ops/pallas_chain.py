@@ -313,6 +313,11 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     q = q_ref[...]
     v = v_ref[...]
     a = a_ref[...]
+    # broadcast every constant to full lane width up front: Mosaic cannot
+    # lower broadcasts of small 2-D vectors into rank-5 shapes whose
+    # minor dims are degenerate (vector<3x3> -> vector<1x3x3x1x1>)
+    onesT = jnp.ones((T,), dt)
+    bT = lambda x: x * onesT
 
     def sl(x, lo, hi):
         return jax.lax.slice_in_dim(x, lo, hi, axis=0)
@@ -331,8 +336,8 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
 
     for jt, idxs in meta.levels:
         k = len(idxs)
-        XRk = _rows(XR_ref, idxs)[..., None]          # (k, 3, 3, 1)
-        Xpk = _rows(Xp_ref, idxs)[..., None]          # (k, 3, 1)
+        XRk = bT(_rows(XR_ref, idxs)[..., None])      # (k, 3, 3, T)
+        Xpk = bT(_rows(Xp_ref, idxs)[..., None])      # (k, 3, T)
         pars = [meta.parents[j] for j in idxs]
         voffs = [meta.v_offs[j] for j in idxs]
         if jt == FREE:
@@ -360,11 +365,11 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
             dR = [jnp.concatenate([zc, Rcol(2), -Rcol(1)], axis=2),
                   jnp.concatenate([-Rcol(2), zc, Rcol(0)], axis=2),
                   jnp.concatenate([Rcol(1), -Rcol(0), zc], axis=2)]
-            rot_hots = one_hot_rows(nv, [vo + 3, vo + 4, vo + 5], dt)
+            rot_hots = bT(one_hot_rows(nv, [vo + 3, vo + 4, vo + 5], dt))
             dq_R = sum(dR[i][:, :, :, None, :]
                        * _row(rot_hots, i)[None, None, None]
                        for i in range(3))                      # (1,3,3,nv,T)
-            lin_hots = one_hot_rows(nv, [vo, vo + 1, vo + 2], dt)
+            lin_hots = bT(one_hot_rows(nv, [vo, vo + 1, vo + 2], dt))
             dq_p = sum(jnp.squeeze(Rcol(j), axis=2)[:, :, None, :]
                        * _row(lin_hots, j)[None, None]
                        for j in range(3))                      # (1,3,nv,T)
@@ -373,15 +378,13 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
             # velocity / acceleration seeds (local twist components)
             vJ_val = sl(v, vo, vo + 6)[None]                   # (1,6,T)
             aJ_val = sl(a, vo, vo + 6)[None]
-            hots6 = one_hot_rows(nv, [vo + i for i in range(6)], dt)
-            eye6 = hots6[None]                                 # (1,6,nv,1)
-            vJ = Dual(vJ_val, None, eye6 * jnp.ones((1, 1, 1, T), dt),
-                      None)
-            aJ = Dual(aJ_val, None, None,
-                      eye6 * jnp.ones((1, 1, 1, T), dt))
+            hots6 = bT(one_hot_rows(nv, [vo + i for i in range(6)], dt))
+            eye6 = hots6[None]                                 # (1,6,nv,T)
+            vJ = Dual(vJ_val, None, eye6, None)
+            aJ = Dual(aJ_val, None, None, eye6)
         else:
             qoffs = [meta.q_offs[j] for j in idxs]
-            axk = _rows(ax_ref, idxs)[..., None]               # (k, 3, 1)
+            axk = bT(_rows(ax_ref, idxs)[..., None])           # (k, 3, T)
             qi = jnp.concatenate([sl(q, o, o + 1) for o in qoffs],
                                  axis=0)                       # (k, T)
             vi_s = jnp.concatenate([sl(v, meta.v_offs[j],
@@ -390,19 +393,19 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
             ai_s = jnp.concatenate([sl(a, meta.v_offs[j],
                                        meta.v_offs[j] + 1)
                                     for j in idxs], axis=0)
-            hots = one_hot_rows(nv, voffs, dt)                 # (k, nv, 1)
+            hots = bT(one_hot_rows(nv, voffs, dt))             # (k, nv, T)
             if jt == REVOLUTE:
                 s_, c_ = jnp.sin(qi), jnp.cos(qi)              # (k, T)
                 hat_a = _hat_const(axk)                        # (k,3,3,1)
                 aaT = axk[:, :, None] * axk[:, None, :]        # (k,3,3,1)
                 ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
                 ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
-                eye3 = (ri == ci).astype(dt)[None, :, :, None]
+                eye3 = bT((ri == ci).astype(dt)[None, :, :, None])
                 Rj = (eye3 * c_[:, None, None]
                       + hat_a * s_[:, None, None]
                       + aaT * (1.0 - c_)[:, None, None])       # (k,3,3,T)
                 Rl_val = _vmatmul(XRk, Rj, 1)
-                pl_val = Xpk * jnp.ones((1, 1, T), dt)
+                pl_val = Xpk
                 dR_dq = _vmatmul(Rl_val, hat_a, 1)             # (k,3,3,T)
                 dq_R = dR_dq[:, :, :, None, :] * hots[:, None, None]
                 Rl = Dual(Rl_val, dq_R)
@@ -413,15 +416,13 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
                 aJ_val = jnp.concatenate(
                     [zk3, axk * ai_s[:, None]], axis=1)
                 ax6 = jnp.concatenate([jnp.zeros_like(axk), axk], axis=1)
-                tan6 = (ax6[:, :, None] * hots[:, None]
-                        * jnp.ones((1, 1, 1, T), dt))          # (k,6,nv,T)
+                tan6 = ax6[:, :, None] * hots[:, None]         # (k,6,nv,T)
                 vJ = Dual(vJ_val, None, tan6, None)
                 aJ = Dual(aJ_val, None, None, tan6)
             else:                                              # PRISMATIC
-                Rl_val = XRk * jnp.ones((1, 1, 1, T), dt)
+                Rl_val = XRk
                 pl_val = Xpk + axk * qi[:, None]
-                dq_p = (axk[:, :, None] * hots[:, None]
-                        * jnp.ones((1, 1, 1, T), dt))
+                dq_p = axk[:, :, None] * hots[:, None]
                 Rl = Dual(Rl_val)
                 pl = Dual(pl_val, dq_p)
                 zk3 = jnp.zeros((k, 3, T), dt)
@@ -464,10 +465,10 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     for c in range(nc):
         pj = meta.cpar[c]
         fc = sl(f, 3 * c, 3 * c + 3)                           # (3, T)
-        fRc = _row(fR_all, c)[..., None]                       # (3, 3, 1)
-        fpc = _row(fp_all, c)[..., None]                       # (3, 1)
+        fRc = bT(_row(fR_all, c)[..., None])                   # (3, 3, T)
+        fpc = bT(_row(fp_all, c)[..., None])                   # (3, T)
         lf = jnp.sum(fRc * fc[None], axis=1)                   # (3, T)
-        p0, p1, p2 = (_row(fpc, 0), _row(fpc, 1), _row(fpc, 2))
+        p0, p1, p2 = (_row(fpc, 0), _row(fpc, 1), _row(fpc, 2))  # (T,)
         l0, l1, l2 = (_row(lf, 0), _row(lf, 1), _row(lf, 2))
         wf = jnp.stack([p1 * l2 - p2 * l1, p2 * l0 - p0 * l2,
                         p0 * l1 - p1 * l0], axis=0)
@@ -483,9 +484,10 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
         gl = drotate_T(RS[j], Dual(-g3 * jnp.ones((1, T), dt)), 0)
         a_tot = dadd(AS[j], dcat(
             [gl, Dual(jnp.zeros((3, T), dt))], 0))
-        mass_j = jax.lax.slice_in_dim(mass_ref[...], j, j + 1, axis=0)  # (1,1)
-        com_j = _row(com_ref[...], j)[..., None]
-        Io_j = _row(I_ref[...], j)[..., None]
+        mass_j = bT(jax.lax.slice_in_dim(mass_ref[...], j, j + 1,
+                                         axis=0))              # (1, T)
+        com_j = bT(_row(com_ref[...], j)[..., None])           # (3, T)
+        Io_j = bT(_row(I_ref[...], j)[..., None])              # (3, 3, T)
         Fj = dadd(dinertia_apply(mass_j, com_j, Io_j, a_tot, 0),
                   dforce_cross(VS[j],
                                dinertia_apply(mass_j, com_j, Io_j,
@@ -502,10 +504,10 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
                 for r in range(6):
                     tau_rows[vo + r] = dindex(FS[j], 0, r)
             elif jt == REVOLUTE:
-                axj = Dual(_row(ax_ref[...], j)[..., None])
+                axj = Dual(bT(_row(ax_ref[...], j)[..., None]))
                 tau_rows[vo] = dsum(dmul(dslice(FS[j], 0, 3, 6), axj), 0)
             else:
-                axj = Dual(_row(ax_ref[...], j)[..., None])
+                axj = Dual(bT(_row(ax_ref[...], j)[..., None]))
                 tau_rows[vo] = dsum(dmul(dslice(FS[j], 0, 0, 3), axj), 0)
             p = meta.parents[j]
             if p >= 0:
@@ -514,16 +516,16 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     tau = dstack(tau_rows, 0)                                  # (nv, ...)
 
     # ---- contacts: Baumgarte residual, cones, task rows ----------------
-    kp = kp_ref[...][..., None]                                # (nc, 1)
-    kv = kv_ref[...][..., None]
+    kp = bT(kp_ref[...])[:, None, :]                           # (nc, 1, T)
+    kv = bT(kv_ref[...])[:, None, :]
     fric = fric_ref[...]                                       # (nc, T)
     p_ref_in = pref_ref[...]                                   # (nc, 3, T)
     VSc = dstack([VS[p] for p in meta.cpar], 0)                # (nc, 6, ..)
     ASc = dstack([AS[p] for p in meta.cpar], 0)
     RSc = dstack([RS[p] for p in meta.cpar], 0)
     PSc = dstack([PS[p] for p in meta.cpar], 0)
-    fRc = Dual(fR_all[..., None])                              # (nc,3,3,1)
-    fpc = Dual(fp_all[..., None])
+    fRc = Dual(bT(fR_all[..., None]))                          # (nc,3,3,T)
+    fpc = Dual(bT(fp_all[..., None]))
     vf = dmotion_xinv(fRc, fpc, VSc, 1)
     af = dmotion_xinv(fRc, fpc, ASc, 1)
     Rwc = dmatmul3(RSc, fRc, 1)                                # (nc,3,3,..)
@@ -551,12 +553,12 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     dgdf_blocks = jnp.sum(Cm[:, :, :, None] * Rwc.val[:, None],
                           axis=2)                              # (nc,5,3,T)
     # task rows: contact-frame world positions + CoM
-    com_all = com_ref[...][..., None]                          # (nj, 3, 1)
-    mass_all = mass_ref[...]
+    com_all = bT(com_ref[...][..., None])                      # (nj, 3, T)
+    mass_all = bT(mass_ref[...])                               # (nj, T)
     acc = None
     for j in range(nj):
         cj = Dual(_row(com_all, j))
-        mj = jax.lax.slice_in_dim(mass_all, j, j + 1, axis=0)    # (1, 1)
+        mj = jax.lax.slice_in_dim(mass_all, j, j + 1, axis=0)    # (1, T)
         ci = dadd(drotate(RS[j], cj, 0), PS[j])
         term = cmul(mj, ci)
         acc = term if acc is None else dadd(acc, term)
@@ -674,18 +676,18 @@ def make_chain(model, contacts, interpret=False):
     the stage/lane axis."""
     meta = chain_meta(model, contacts)
     dt = model.dtype
+    # pure-NUMPY const assembly, kept as numpy: get_chain is first called
+    # inside a jit trace, where jnp values would be that trace's tracers
+    # and leak through the cache into later traces
+    fids = list(contacts.frame_ids)
+    np_dt = np.dtype(jnp.dtype(dt).name)
+    np_ = lambda x: np.asarray(x, dtype=np_dt)
     consts = (
-        jnp.asarray(model.Xtree_R, dt), jnp.asarray(model.Xtree_p, dt),
-        jnp.asarray(model.axis, dt),
-        jnp.asarray(model.mass, dt)[:, None],      # 1-D consts -> 2-D
-        jnp.asarray(model.com, dt), jnp.asarray(model.inertia, dt),
-        jnp.asarray(model.gravity, dt)[:, None],
-        jnp.asarray(np.stack([np.asarray(model.frame_R[f])
-                              for f in contacts.frame_ids]), dt),
-        jnp.asarray(np.stack([np.asarray(model.frame_p[f])
-                              for f in contacts.frame_ids]), dt),
-        jnp.asarray(contacts.kp, dt)[:, None],
-        jnp.asarray(contacts.kv, dt)[:, None])
+        np_(model.Xtree_R), np_(model.Xtree_p), np_(model.axis),
+        np_(model.mass)[:, None], np_(model.com), np_(model.inertia),
+        np_(model.gravity)[:, None],
+        np_(model.frame_R)[fids], np_(model.frame_p)[fids],
+        np_(contacts.kp)[:, None], np_(contacts.kv)[:, None])
 
     @jax.custom_batching.custom_vmap
     def call(q, v, a, f_eff, fric, p_ref):

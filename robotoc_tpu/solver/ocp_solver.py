@@ -316,15 +316,27 @@ def _build(model, contacts, limits, barrier, n_imp,
     dt = grid.dt
     nv, nu_dim = model.nv, model.dimu
     nf = contacts.max_dimf
-    fn = jax.vmap(functools.partial(
-        stage.stage_pre, model, contacts, costs, limits))
-    pre = fn(grid.t[:-1], dt, jnp.full_like(dt, barrier),
-             sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.f[:-1],
-             sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1], sol.gmm[:-1],
-             sol.lmd[1:], sol.gmm[1:], sol.q[1:], sol.v[1:],
-             sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
-             grid.contact_mask[:-1], grid.p_ref[:-1], grid.friction[:-1],
-             grid.R_ref[:-1])
+    pre_fn = functools.partial(
+        stage.stage_pre, model, contacts, costs, limits)
+    pre_args = (grid.t[:-1], dt, jnp.full_like(dt, barrier),
+                sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1],
+                sol.f[:-1], sol.beta[:-1], sol.mu[:-1], sol.lmd[:-1],
+                sol.gmm[:-1], sol.lmd[1:], sol.gmm[1:], sol.q[1:],
+                sol.v[1:], sol.s_lim, sol.z_lim, sol.s_cone, sol.z_cone,
+                grid.contact_mask[:-1], grid.p_ref[:-1],
+                grid.friction[:-1], grid.R_ref[:-1])
+    from ..ops import pallas_chain as pchain
+    if use_pallas and pchain.chain_supported(model, contacts):
+        # fused chain kernel for ALL intermediate grids in one call
+        # (the custom-vmap flattens the fleet batch into the lane axis)
+        rowmask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
+        chain_out = pchain.get_chain(model, contacts)(
+            sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.f[:-1] * rowmask,
+            grid.friction[:-1], grid.p_ref[:-1])
+        pre = jax.vmap(lambda co, *a: pre_fn(*a, chain_out=co))(
+            chain_out, *pre_args)
+    else:
+        pre = jax.vmap(pre_fn)(*pre_args)
     if n_imp > 0:
         idx = _impact_slots(grid, n_imp)
         g = lambda x: jnp.take(x, idx, axis=0)

@@ -38,9 +38,11 @@ def emit(value_updates_per_s, note="", kkt=None):
     rec = {
         "metric": "ANYmal trot whole-body MPC updates/s "
                   "(N=20, B=128 scenarios, max_iter=2, f32, switching "
-                  "constraints, Pallas condense, 1 chip)" + note,
+                  "constraints, Pallas condense+Riccati+chain, 1 chip)" + note,
         "value": round(value_updates_per_s, 1),
         "unit": "updates/s",
+        # vs the 400 Hz single-core reference MPC cadence (the
+        # reference publishes no absolute updates/s; BASELINE.md)
         "vs_baseline": round(value_updates_per_s / 400.0, 2),
     }
     if kkt is not None:
@@ -92,7 +94,8 @@ def main():
         def it(s, _):
             s, kkt, alpha, _ = OS._update(
                 m, mpc.contacts, mpc.limits, 1e-3, 0.995, mpc.n_reserved,
-                costs, s, grid, q0, v0, enable_sw=True, use_pallas=True)
+                costs, s, grid, q0, v0, enable_sw=True, use_pallas=True,
+                use_chain=True)
             return s, kkt
 
         sol, kkts = jax.lax.scan(it, sol, None, length=2)

@@ -67,6 +67,7 @@ class StageBlocks(NamedTuple):
     la_full: jnp.ndarray
     # diagnostics
     kkt_sq: jnp.ndarray
+    kkt_rest: jnp.ndarray  # kkt_sq minus the (lq, lv, la) squares
     cost: jnp.ndarray
     barrier_cost: jnp.ndarray
     prim_feas: jnp.ndarray
@@ -168,13 +169,17 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
     c_lim = pdipm.complementarity(s_lim, z_lim, barrier, limits.mask)
     r_cone_p = pdipm.residual(g_cone, s_cone, cone_mask)
     c_cone = pdipm.complementarity(s_cone, z_cone, barrier, cone_mask)
-    kkt_sq = (jnp.sum(xres_q**2) + jnp.sum(Fv_res**2) + jnp.sum(ID_res**2)
-              + jnp.sum(C_res**2)
-              + jnp.sum(lq_full**2) + jnp.sum(lv_full**2)
-              + jnp.sum(la_full**2) + jnp.sum(lf_full**2)
-              + jnp.sum(lu_full**2)
-              + jnp.sum(r_lim**2) + jnp.sum(c_lim**2)
-              + jnp.sum(r_cone_p**2) + jnp.sum(c_cone**2))
+    # kkt_rest excludes the (lq, lv, la) stationarity rows: the
+    # switching-constraint branch (_build) REBUILDS the slot total as
+    # kkt_rest + corrected squares — a pure sum of squares, so the
+    # reported KKT can never be clamped/floored (round-3 review Weak #3)
+    kkt_rest = (jnp.sum(xres_q**2) + jnp.sum(Fv_res**2)
+                + jnp.sum(ID_res**2) + jnp.sum(C_res**2)
+                + jnp.sum(lf_full**2) + jnp.sum(lu_full**2)
+                + jnp.sum(r_lim**2) + jnp.sum(c_lim**2)
+                + jnp.sum(r_cone_p**2) + jnp.sum(c_cone**2))
+    kkt_sq = (kkt_rest + jnp.sum(lq_full**2) + jnp.sum(lv_full**2)
+              + jnp.sum(la_full**2))
     barrier_cost = (pdipm.log_barrier(s_lim, barrier, limits.mask)
                     + pdipm.log_barrier(s_cone, barrier, cone_mask))
     prim = (jnp.sum(jnp.abs(xres_q)) + jnp.sum(jnp.abs(Fv_res))
@@ -195,7 +200,8 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
         # aux (pass-through to StageBlocks)
         aux_e_lim=e_lim, aux_e_cone=g_cone,
         aux_lq_full=lq_full, aux_lv_full=lv_full, aux_la_full=la_full,
-        aux_kkt_sq=kkt_sq, aux_cost=c, aux_barrier_cost=barrier_cost,
+        aux_kkt_sq=kkt_sq, aux_kkt_rest=kkt_rest, aux_cost=c,
+        aux_barrier_cost=barrier_cost,
         aux_prim=prim, aux_dual=dual)
 
 
@@ -272,7 +278,8 @@ def stage_finish(nv, nu_dim, nf, pre, ko) -> StageBlocks:
         dgdq=pre["dgdq"], dgdf=pre["dgdf"],
         lq_full=pre["aux_lq_full"], lv_full=pre["aux_lv_full"],
         la_full=pre["aux_la_full"],
-        kkt_sq=pre["aux_kkt_sq"], cost=pre["aux_cost"],
+        kkt_sq=pre["aux_kkt_sq"], kkt_rest=pre["aux_kkt_rest"],
+        cost=pre["aux_cost"],
         barrier_cost=pre["aux_barrier_cost"],
         prim_feas=pre["aux_prim"], dual_feas=pre["aux_dual"])
 

@@ -107,11 +107,12 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
                - J @ beta) * rowmask
     r_cone_p = pdipm.residual(g_cone, s_cone, cone_mask)
     c_cone = pdipm.complementarity(s_cone, z_cone, barrier, cone_mask)
-    kkt_sq = (jnp.sum(xres_q**2) + jnp.sum(Fv_res**2) + jnp.sum(ID_res**2)
-              + jnp.sum(C_res**2) + jnp.sum(lq_full**2)
-              + jnp.sum(lv_full**2) + jnp.sum(ldv_full**2)
-              + jnp.sum(lf_full**2)
-              + jnp.sum(r_cone_p**2) + jnp.sum(c_cone**2))
+    kkt_rest = (jnp.sum(xres_q**2) + jnp.sum(Fv_res**2)
+                + jnp.sum(ID_res**2) + jnp.sum(C_res**2)
+                + jnp.sum(lf_full**2)
+                + jnp.sum(r_cone_p**2) + jnp.sum(c_cone**2))
+    kkt_sq = (kkt_rest + jnp.sum(lq_full**2) + jnp.sum(lv_full**2)
+              + jnp.sum(ldv_full**2))
     barrier_cost = pdipm.log_barrier(s_cone, barrier, cone_mask)
     prim = (jnp.sum(jnp.abs(xres_q)) + jnp.sum(jnp.abs(Fv_res))
             + jnp.sum(jnp.abs(ID_res)) + jnp.sum(jnp.abs(C_res))
@@ -135,7 +136,8 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
         aux_e_lim=jnp.zeros_like(s_lim),   # joint limits off at impacts
         aux_e_cone=g_cone,
         aux_lq_full=lq_full, aux_lv_full=lv_full, aux_la_full=ldv_full,
-        aux_kkt_sq=kkt_sq, aux_cost=c, aux_barrier_cost=barrier_cost,
+        aux_kkt_sq=kkt_sq, aux_kkt_rest=kkt_rest, aux_cost=c,
+        aux_barrier_cost=barrier_cost,
         aux_prim=prim, aux_dual=dual)
 
 

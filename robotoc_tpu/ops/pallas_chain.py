@@ -225,12 +225,14 @@ def dmatmul3(A: Dual, B: Dual, axis: int) -> Dual:
     return dsum(dmul(dexpand(A, axis + 2), dexpand(B, axis)), axis + 1)
 
 
-def one_hot_rows(nv, idxs, dt):
-    """(len(idxs), nv, 1): row j is the one-hot of idxs[j], iota-built (a
-    Pallas kernel cannot capture array constants)."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
+def one_hot_rows(nv, idxs, dt, T):
+    """(len(idxs), nv, T): row j is the one-hot of idxs[j], iota-built (a
+    Pallas kernel cannot capture array constants). Built at full lane
+    width: broadcasts from lane-degenerate shapes fuse into 2-axis
+    vector.broadcast ops some Mosaic versions cannot lower."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, nv, T), 1)
     rows = [(i == int(ix)).astype(dt) for ix in idxs]
-    return jnp.concatenate(rows, axis=0)[..., None]
+    return jnp.concatenate(rows, axis=0)
 
 # ---------------------------------------------------------------------------
 # Static chain description (python-level: controls unrolling, not traced)
@@ -313,9 +315,13 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     q = q_ref[...]
     v = v_ref[...]
     a = a_ref[...]
-    # broadcast every constant to full lane width up front: Mosaic cannot
-    # lower broadcasts of small 2-D vectors into rank-5 shapes whose
-    # minor dims are degenerate (vector<3x3> -> vector<1x3x3x1x1>)
+    # Every constant ref arrives PRE-BROADCAST to full lane width
+    # (..., T) from make_chain: in-kernel lane broadcasts of
+    # lane-degenerate constants ((nj, 1) mass, (3, 1) gravity) fuse with
+    # downstream sublane broadcasts into two-axis vector.broadcast ops
+    # ("Broadcast in both sublanes and lanes") that the driver toolchain's
+    # Mosaic cannot lower (round-3 BENCH_r03 failure). With constants at
+    # (..., T) every remaining broadcast is single-axis per (8, 128) tile.
     onesT = jnp.ones((T,), dt)
     bT = lambda x: x * onesT
 
@@ -336,8 +342,8 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
 
     for jt, idxs in meta.levels:
         k = len(idxs)
-        XRk = bT(_rows(XR_ref, idxs)[..., None])      # (k, 3, 3, T)
-        Xpk = bT(_rows(Xp_ref, idxs)[..., None])      # (k, 3, T)
+        XRk = _rows(XR_ref, idxs)                     # (k, 3, 3, T)
+        Xpk = _rows(Xp_ref, idxs)                     # (k, 3, T)
         pars = [meta.parents[j] for j in idxs]
         voffs = [meta.v_offs[j] for j in idxs]
         if jt == FREE:
@@ -365,11 +371,11 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
             dR = [jnp.concatenate([zc, Rcol(2), -Rcol(1)], axis=2),
                   jnp.concatenate([-Rcol(2), zc, Rcol(0)], axis=2),
                   jnp.concatenate([Rcol(1), -Rcol(0), zc], axis=2)]
-            rot_hots = bT(one_hot_rows(nv, [vo + 3, vo + 4, vo + 5], dt))
+            rot_hots = one_hot_rows(nv, [vo + 3, vo + 4, vo + 5], dt, T)
             dq_R = sum(dR[i][:, :, :, None, :]
                        * _row(rot_hots, i)[None, None, None]
                        for i in range(3))                      # (1,3,3,nv,T)
-            lin_hots = bT(one_hot_rows(nv, [vo, vo + 1, vo + 2], dt))
+            lin_hots = one_hot_rows(nv, [vo, vo + 1, vo + 2], dt, T)
             dq_p = sum(jnp.squeeze(Rcol(j), axis=2)[:, :, None, :]
                        * _row(lin_hots, j)[None, None]
                        for j in range(3))                      # (1,3,nv,T)
@@ -378,13 +384,13 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
             # velocity / acceleration seeds (local twist components)
             vJ_val = sl(v, vo, vo + 6)[None]                   # (1,6,T)
             aJ_val = sl(a, vo, vo + 6)[None]
-            hots6 = bT(one_hot_rows(nv, [vo + i for i in range(6)], dt))
+            hots6 = one_hot_rows(nv, [vo + i for i in range(6)], dt, T)
             eye6 = hots6[None]                                 # (1,6,nv,T)
             vJ = Dual(vJ_val, None, eye6, None)
             aJ = Dual(aJ_val, None, None, eye6)
         else:
             qoffs = [meta.q_offs[j] for j in idxs]
-            axk = bT(_rows(ax_ref, idxs)[..., None])           # (k, 3, T)
+            axk = _rows(ax_ref, idxs)                          # (k, 3, T)
             qi = jnp.concatenate([sl(q, o, o + 1) for o in qoffs],
                                  axis=0)                       # (k, T)
             vi_s = jnp.concatenate([sl(v, meta.v_offs[j],
@@ -393,11 +399,11 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
             ai_s = jnp.concatenate([sl(a, meta.v_offs[j],
                                        meta.v_offs[j] + 1)
                                     for j in idxs], axis=0)
-            hots = bT(one_hot_rows(nv, voffs, dt))             # (k, nv, T)
+            hots = one_hot_rows(nv, voffs, dt, T)              # (k, nv, T)
             if jt == REVOLUTE:
                 s_, c_ = jnp.sin(qi), jnp.cos(qi)              # (k, T)
-                hat_a = _hat_const(axk)                        # (k,3,3,1)
-                aaT = axk[:, :, None] * axk[:, None, :]        # (k,3,3,1)
+                hat_a = _hat_const(axk)                        # (k,3,3,T)
+                aaT = axk[:, :, None] * axk[:, None, :]        # (k,3,3,T)
                 ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
                 ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
                 eye3 = bT((ri == ci).astype(dt)[None, :, :, None])
@@ -431,8 +437,7 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
                 aJ_val = jnp.concatenate(
                     [axk * ai_s[:, None], zk3], axis=1)
                 ax6 = jnp.concatenate([axk, jnp.zeros_like(axk)], axis=1)
-                tan6 = (ax6[:, :, None] * hots[:, None]
-                        * jnp.ones((1, 1, 1, T), dt))
+                tan6 = ax6[:, :, None] * hots[:, None]
                 vJ = Dual(vJ_val, None, tan6, None)
                 aJ = Dual(aJ_val, None, None, tan6)
         if pars[0] < 0:
@@ -465,8 +470,8 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     for c in range(nc):
         pj = meta.cpar[c]
         fc = sl(f, 3 * c, 3 * c + 3)                           # (3, T)
-        fRc = bT(_row(fR_all, c)[..., None])                   # (3, 3, T)
-        fpc = bT(_row(fp_all, c)[..., None])                   # (3, T)
+        fRc = _row(fR_all, c)                                  # (3, 3, T)
+        fpc = _row(fp_all, c)                                  # (3, T)
         lf = jnp.sum(fRc * fc[None], axis=1)                   # (3, T)
         p0, p1, p2 = (_row(fpc, 0), _row(fpc, 1), _row(fpc, 2))  # (T,)
         l0, l1, l2 = (_row(lf, 0), _row(lf, 1), _row(lf, 2))
@@ -477,17 +482,17 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
             else f_joint_val[pj] + fj
 
     # ---- RNEA backward: net forces, child-to-parent, torque rows -------
-    g3 = g3_ref[...]                                           # (3, 1)
+    g3 = g3_ref[...]                                           # (3, T)
     FS = [None] * nj
     for j in range(nj):
         # gravity offset: GP_j = (R_wj^T (-g), 0) exactly
-        gl = drotate_T(RS[j], Dual(-g3 * jnp.ones((1, T), dt)), 0)
+        gl = drotate_T(RS[j], Dual(-g3), 0)
         a_tot = dadd(AS[j], dcat(
             [gl, Dual(jnp.zeros((3, T), dt))], 0))
-        mass_j = bT(jax.lax.slice_in_dim(mass_ref[...], j, j + 1,
-                                         axis=0))              # (1, T)
-        com_j = bT(_row(com_ref[...], j)[..., None])           # (3, T)
-        Io_j = bT(_row(I_ref[...], j)[..., None])              # (3, 3, T)
+        mass_j = jax.lax.slice_in_dim(mass_ref[...], j, j + 1,
+                                      axis=0)                  # (1, T)
+        com_j = _row(com_ref[...], j)                          # (3, T)
+        Io_j = _row(I_ref[...], j)                             # (3, 3, T)
         Fj = dadd(dinertia_apply(mass_j, com_j, Io_j, a_tot, 0),
                   dforce_cross(VS[j],
                                dinertia_apply(mass_j, com_j, Io_j,
@@ -504,10 +509,10 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
                 for r in range(6):
                     tau_rows[vo + r] = dindex(FS[j], 0, r)
             elif jt == REVOLUTE:
-                axj = Dual(bT(_row(ax_ref[...], j)[..., None]))
+                axj = Dual(_row(ax_ref[...], j))
                 tau_rows[vo] = dsum(dmul(dslice(FS[j], 0, 3, 6), axj), 0)
             else:
-                axj = Dual(bT(_row(ax_ref[...], j)[..., None]))
+                axj = Dual(_row(ax_ref[...], j))
                 tau_rows[vo] = dsum(dmul(dslice(FS[j], 0, 0, 3), axj), 0)
             p = meta.parents[j]
             if p >= 0:
@@ -516,16 +521,16 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     tau = dstack(tau_rows, 0)                                  # (nv, ...)
 
     # ---- contacts: Baumgarte residual, cones, task rows ----------------
-    kp = bT(kp_ref[...])[:, None, :]                           # (nc, 1, T)
-    kv = bT(kv_ref[...])[:, None, :]
+    kp = kp_ref[...][:, None, :]                               # (nc, 1, T)
+    kv = kv_ref[...][:, None, :]
     fric = fric_ref[...]                                       # (nc, T)
     p_ref_in = pref_ref[...]                                   # (nc, 3, T)
     VSc = dstack([VS[p] for p in meta.cpar], 0)                # (nc, 6, ..)
     ASc = dstack([AS[p] for p in meta.cpar], 0)
     RSc = dstack([RS[p] for p in meta.cpar], 0)
     PSc = dstack([PS[p] for p in meta.cpar], 0)
-    fRc = Dual(bT(fR_all[..., None]))                          # (nc,3,3,T)
-    fpc = Dual(bT(fp_all[..., None]))
+    fRc = Dual(fR_all)                                         # (nc,3,3,T)
+    fpc = Dual(fp_all)
     vf = dmotion_xinv(fRc, fpc, VSc, 1)
     af = dmotion_xinv(fRc, fpc, ASc, 1)
     Rwc = dmatmul3(RSc, fRc, 1)                                # (nc,3,3,..)
@@ -553,8 +558,8 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     dgdf_blocks = jnp.sum(Cm[:, :, :, None] * Rwc.val[:, None],
                           axis=2)                              # (nc,5,3,T)
     # task rows: contact-frame world positions + CoM
-    com_all = bT(com_ref[...][..., None])                      # (nj, 3, T)
-    mass_all = bT(mass_ref[...])                               # (nj, T)
+    com_all = com_ref[...]                                     # (nj, 3, T)
+    mass_all = mass_ref[...]                                   # (nj, T)
     acc = None
     for j in range(nj):
         cj = Dual(_row(com_all, j))
@@ -682,12 +687,17 @@ def make_chain(model, contacts, interpret=False):
     fids = list(contacts.frame_ids)
     np_dt = np.dtype(jnp.dtype(dt).name)
     np_ = lambda x: np.asarray(x, dtype=np_dt)
+    # pre-broadcast every constant to full lane width (..., TILE): see
+    # the lowering note in _chain_kernel (total VMEM cost ~200 KB)
+    tile = lambda x: np.ascontiguousarray(
+        np.broadcast_to(x[..., None], x.shape + (TILE,)))
     consts = (
-        np_(model.Xtree_R), np_(model.Xtree_p), np_(model.axis),
-        np_(model.mass)[:, None], np_(model.com), np_(model.inertia),
-        np_(model.gravity)[:, None],
-        np_(model.frame_R)[fids], np_(model.frame_p)[fids],
-        np_(contacts.kp)[:, None], np_(contacts.kv)[:, None])
+        tile(np_(model.Xtree_R)), tile(np_(model.Xtree_p)),
+        tile(np_(model.axis)),
+        tile(np_(model.mass)), tile(np_(model.com)),
+        tile(np_(model.inertia)), tile(np_(model.gravity)),
+        tile(np_(model.frame_R)[fids]), tile(np_(model.frame_p)[fids]),
+        tile(np_(contacts.kp)), tile(np_(contacts.kv)))
 
     @jax.custom_batching.custom_vmap
     def call(q, v, a, f_eff, fric, p_ref):
@@ -722,10 +732,15 @@ _CHAIN_CACHE = {}
 
 def get_chain(model, contacts):
     """Cached per (model, contacts) identity; Mosaic on TPU, interpreter
-    on CPU (tests)."""
+    on CPU (tests). The cache VALUE holds strong references to the keyed
+    objects and verifies identity on hit: a bare id() key could silently
+    hand a recycled id a kernel with another model's baked-in constants
+    (round-3 advisor finding)."""
     interpret = jax.default_backend() == "cpu"
     key = (id(model), id(contacts), interpret)
-    if key not in _CHAIN_CACHE:
-        _CHAIN_CACHE[key] = make_chain(model, contacts,
-                                       interpret=interpret)
-    return _CHAIN_CACHE[key]
+    hit = _CHAIN_CACHE.get(key)
+    if hit is not None and hit[0] is model and hit[1] is contacts:
+        return hit[2]
+    fn = make_chain(model, contacts, interpret=interpret)
+    _CHAIN_CACHE[key] = (model, contacts, fn)
+    return fn

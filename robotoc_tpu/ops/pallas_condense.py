@@ -423,6 +423,12 @@ def make_condense(nv, nu, nf, ncone, interpret=False):
     Returns fn(**arrays) -> dict, where every array is batch-first
     (S, ...). Under an outer vmap (the MPC scenario fleet) the batching
     rule flattens (B, S) -> (B*S,) so lanes stay full."""
+    if nf <= 0 or ncone <= 0:
+        raise ValueError(
+            f"Pallas condense kernel needs nf > 0 and ncone > 0 (got "
+            f"nf={nf}, ncone={ncone}): zero-size blocks are not "
+            f"lowerable. Use stage.condense_jax (use_pallas=False) for "
+            f"contact-free problems.")
     dims = (nv, nu, nf, ncone)
 
     @jax.custom_batching.custom_vmap

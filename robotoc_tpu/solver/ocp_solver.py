@@ -95,6 +95,12 @@ class SolverOptions:
     (ops/pallas_condense) on TPU, vmapped JAX on CPU; True / False force
     it. The Pallas path keeps each 128-stage tile VMEM-resident instead
     of streaming every tiny batched matmul through HBM."""
+    use_pallas_chain: str = struct.field(pytree_node=False, default="auto")
+    """Fused Pallas kinematic-chain kernel (ops/pallas_chain) for the
+    stage derivatives. "auto" follows use_pallas; False forces the XLA
+    jacfwd chain even when the condense/Riccati Pallas kernels are on
+    (round-3 lesson: an unverified chain kernel in the default TPU path
+    broke every OCPSolver user on the driver toolchain)."""
 
 
 class OCPSolver:
@@ -124,6 +130,12 @@ class OCPSolver:
             use_pallas = (jax.default_backend() != "cpu"
                           and contacts.max_dimf > 0)
         self.use_pallas = bool(use_pallas)
+        use_chain = options.use_pallas_chain
+        if use_chain == "auto":
+            use_chain = self.use_pallas
+        from ..ops import pallas_chain as _pchain
+        self.use_chain = (bool(use_chain) and self.use_pallas
+                          and _pchain.chain_supported(model, contacts))
         if options.parallel_riccati:
             global_lqr = plqr
         elif self.use_pallas:
@@ -139,7 +151,7 @@ class OCPSolver:
             options.fraction_to_boundary_rule, n_imp,
             riccati=global_lqr,
             enable_ls=options.enable_line_search, enable_sw=enable_sw,
-            use_pallas=self.use_pallas))
+            use_pallas=self.use_pallas, use_chain=self.use_chain))
         # barrier-schedule variant: (kkt_tol, barrier) are call-time traced
         # scalars so the mu path-following outer loop never recompiles
         self._solve_mu = jax.jit(functools.partial(
@@ -147,17 +159,17 @@ class OCPSolver:
             ftb=options.fraction_to_boundary_rule, n_imp=n_imp,
             riccati=global_lqr,
             enable_ls=options.enable_line_search, enable_sw=enable_sw,
-            use_pallas=self.use_pallas))
+            use_pallas=self.use_pallas, use_chain=self.use_chain))
         self._update = jax.jit(functools.partial(
             _update, model, contacts, self.limits,
             options.barrier, options.fraction_to_boundary_rule, n_imp,
             riccati=global_lqr,
             enable_ls=options.enable_line_search, enable_sw=enable_sw,
-            use_pallas=self.use_pallas))
+            use_pallas=self.use_pallas, use_chain=self.use_chain))
         self._kkt_error = jax.jit(functools.partial(
             _kkt_error, model, contacts, self.limits,
             options.barrier, n_imp, enable_sw=enable_sw,
-            use_pallas=self.use_pallas))
+            use_pallas=self.use_pallas, use_chain=self.use_chain))
 
     def init_solution(self, grid: GridData, q, v,
                       f_init: Optional[jnp.ndarray] = None) -> Solution:
@@ -303,7 +315,7 @@ def _impact_slots(grid: GridData, n_imp: int):
 
 def _build(model, contacts, limits, barrier, n_imp,
            costs, sol: Solution, grid: GridData, q_init, v_init,
-           enable_sw=False, use_pallas=False):
+           enable_sw=False, use_pallas=False, use_chain=False):
     """n_imp (static int): number of impact/pass-through slots in the grid.
     Impact stages are evaluated ONLY on those slots (gather -> scatter), not
     on all N grids — the reserved-slot design's FLOP saving (round-1 review
@@ -326,7 +338,7 @@ def _build(model, contacts, limits, barrier, n_imp,
                 grid.contact_mask[:-1], grid.p_ref[:-1],
                 grid.friction[:-1], grid.R_ref[:-1])
     from ..ops import pallas_chain as pchain
-    if use_pallas and pchain.chain_supported(model, contacts):
+    if use_chain and use_pallas and pchain.chain_supported(model, contacts):
         # fused chain kernel for ALL intermediate grids in one call
         # (the custom-vmap flattens the fleet batch into the lane axis)
         rowmask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
@@ -403,19 +415,19 @@ def _build(model, contacts, limits, barrier, n_imp,
                 jnp.einsum("kfx,kf->kx", Phix, xi_g)),
             lu=blocks.lu.at[idx_sw].add(
                 jnp.einsum("kfu,kf->ku", Phiu, xi_g)))
-        # exact full-space KKT correction at the constrained slots
+        # exact full-space KKT correction at the constrained slots,
+        # REBUILT as kkt_rest + corrected squares — a pure sum of squares
+        # (the old difference-of-squares delta could push the total
+        # negative in floating point, forcing a max(..., 0) floor that
+        # made "kkt = 0.000e+00" reportable; round-3 review Weak #3)
         lq_g = g(blocks.lq_full) + jnp.einsum("kfq,kf->kq", Phiq, xi_g)
         lv_g = g(blocks.lv_full) + jnp.einsum("kfq,kf->kq", Phiv, xi_g)
         la_g = g(blocks.la_full) + jnp.einsum("kfq,kf->kq", Phia, xi_g)
-        delta = (jnp.sum(lq_g**2, axis=1) - jnp.sum(g(blocks.lq_full)**2,
-                                                    axis=1)
-                 + jnp.sum(lv_g**2, axis=1) - jnp.sum(g(blocks.lv_full)**2,
-                                                      axis=1)
-                 + jnp.sum(la_g**2, axis=1) - jnp.sum(g(blocks.la_full)**2,
-                                                      axis=1)
-                 + jnp.sum(P_res**2, axis=1))
+        slot_sq = (jnp.take(blocks.kkt_rest, idx_sw)
+                   + jnp.sum(lq_g**2, axis=1) + jnp.sum(lv_g**2, axis=1)
+                   + jnp.sum(la_g**2, axis=1) + jnp.sum(P_res**2, axis=1))
         blocks = blocks._replace(
-            kkt_sq=blocks.kkt_sq.at[idx_sw].add(delta))
+            kkt_sq=blocks.kkt_sq.at[idx_sw].set(slot_sq))
         zx = jnp.zeros((S1, nf, 2 * nv), sol.q.dtype)
         zu = jnp.zeros((S1, nf, nu_dim), sol.q.dtype)
         zc = jnp.zeros((S1, nf), sol.q.dtype)
@@ -438,11 +450,9 @@ def _build(model, contacts, limits, barrier, n_imp,
                    **sw_fields)
     dq0 = rm.difference(model, sol.q[0], q_init)
     dx0 = jnp.concatenate([dq0, v_init - sol.v[0]])
-    # clamp: the switching-constraint KKT delta is a difference of squared
-    # norms and can push the near-zero total slightly negative in floating
-    # point (sqrt would NaN exactly at convergence)
-    kkt_sq = jnp.maximum(
-        jnp.sum(blocks.kkt_sq) + jnp.sum(lxN**2) + jnp.sum(dx0**2), 0.0)
+    # every term is a sum of squares (see the switching-slot rebuild
+    # above), so the total is non-negative by construction — no floor
+    kkt_sq = jnp.sum(blocks.kkt_sq) + jnp.sum(lxN**2) + jnp.sum(dx0**2)
     total_cost = jnp.sum(blocks.cost) + cN
     return data, blocks, dx0, kkt_sq, total_cost, sw_aux
 
@@ -555,31 +565,32 @@ def _integrate_solution(model, sol: Solution, d: Directions, a_p, a_d):
 def _update(model, contacts, limits, barrier, ftb, n_imp,
             costs, sol: Solution, grid: GridData, q_init, v_init,
             riccati=None, enable_ls=False, enable_sw=False,
-            use_pallas=False):
+            use_pallas=False, use_chain=False):
     if riccati is None:
         riccati = plscan if use_pallas else lqr
     built = _build(model, contacts, limits, barrier, n_imp, costs,
                    sol, grid, q_init, v_init, enable_sw=enable_sw,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, use_chain=use_chain)
     out = _direction_and_step(model, contacts, limits, barrier, ftb,
                               n_imp, costs, sol, grid, q_init, v_init,
                               built, riccati=riccati, enable_ls=enable_ls,
-                              enable_sw=enable_sw, use_pallas=use_pallas)
+                              enable_sw=enable_sw, use_pallas=use_pallas,
+                              use_chain=use_chain)
     return out[:4]
 
 
 def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
                         costs, sol: Solution, grid: GridData, q_init,
                         v_init, built, riccati=None, enable_ls=False,
-                        enable_sw=False, use_pallas=False, filt=None,
-                        ls_it=0):
-    if riccati is None:
-        riccati = plscan if use_pallas else lqr
+                        enable_sw=False, use_pallas=False, use_chain=False,
+                        filt=None, ls_it=0):
     """Newton direction + globalized step from an already-evaluated build
     (lets the solve loop reuse one _build per iteration for both the step
     and the convergence check). With enable_ls == "filter", `filt` is the
     Fletcher-Leyffer filter array carried by the solve loop and the updated
     filter is returned as the 5th element."""
+    if riccati is None:
+        riccati = plscan if use_pallas else lqr
     data, blocks, dx0, kkt_sq, _, _ = built
     dx, du, dlmd_all, policy = riccati.solve(data, dx0)
     d = _expand_directions(model, contacts, limits, barrier, n_imp,
@@ -690,7 +701,8 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
                                          n_imp, costs, trial_sol,
                                          grid, q_init, v_init,
                                          enable_sw=enable_sw,
-                                         use_pallas=use_pallas)
+                                         use_pallas=use_pallas,
+                                         use_chain=use_chain)
             return k_sq
 
         def cond(state):
@@ -718,17 +730,19 @@ def _direction_and_step(model, contacts, limits, barrier, ftb, n_imp,
 
 def _kkt_error(model, contacts, limits, barrier, n_imp,
                costs, sol, grid, q_init, v_init, enable_sw=False,
-               use_pallas=False):
+               use_pallas=False, use_chain=False):
     _, _, _, kkt_sq, _, _ = _build(model, contacts, limits, barrier,
                                    n_imp, costs, sol, grid, q_init,
                                    v_init, enable_sw=enable_sw,
-                                   use_pallas=use_pallas)
+                                   use_pallas=use_pallas,
+                                   use_chain=use_chain)
     return jnp.sqrt(kkt_sq)
 
 
 def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
            n_imp, costs, sol, grid, q_init, v_init, riccati=lqr,
-           enable_ls=False, enable_sw=False, use_pallas=False):
+           enable_ls=False, enable_sw=False, use_pallas=False,
+           use_chain=False):
     """Newton loop with ONE stage build per iteration: the build evaluated
     for the convergence check is reused for the next direction (the
     reference also evaluates the KKT system once per iteration,
@@ -740,7 +754,7 @@ def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
     def do_build(s):
         return _build(model, contacts, limits, barrier, n_imp, costs, s,
                       grid, q_init, v_init, enable_sw=enable_sw,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, use_chain=use_chain)
 
     from ..line_search import line_search as lsmod
     use_filter = enable_ls == "filter"
@@ -754,8 +768,8 @@ def _solve(model, contacts, limits, max_iter, kkt_tol, barrier, ftb,
         out = _direction_and_step(
             model, contacts, limits, barrier, ftb, n_imp, costs, s, grid,
             q_init, v_init, built, riccati=riccati, enable_ls=enable_ls,
-            enable_sw=enable_sw, use_pallas=use_pallas, filt=filt,
-            ls_it=it)
+            enable_sw=enable_sw, use_pallas=use_pallas,
+            use_chain=use_chain, filt=filt, ls_it=it)
         new, _, alpha = out[0], out[1], out[2]
         if use_filter:
             filt = out[4]

@@ -5,6 +5,8 @@ config, terrain-aware variant).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from robotoc_tpu.models import load_robot

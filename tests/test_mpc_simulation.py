@@ -11,6 +11,8 @@ stays bounded.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from robotoc_tpu.models import load_robot

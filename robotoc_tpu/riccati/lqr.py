@@ -126,12 +126,47 @@ def solve(data: LQRData, dx0):
 # threads dedicated STO rows through its serial recursion
 # (reference: src/riccati/riccati_factorizer.cpp:93-142).
 
-def backward_vec(data: LQRData, P_all, lx_b, lu_b, xres_b, lxN_b):
+def backward_vec(data: LQRData, policy: LQRPolicy, lx_b, lu_b, xres_b,
+                 lxN_b, Pc_b=None):
     """Vector-part backward sweep for a batch of RHS.
 
-    P_all: (N+1, nx, nx) from a prior `backward`. lx_b/lu_b/xres_b:
-    (N, R, ·); lxN_b: (R, nx). Returns (p_b (N+1, R, nx), k_b (N, R, nu)).
+    policy: from a prior `backward` (P reused; when the data carries
+    switching-constraint rows, the constrained factors GiPhiuT/S_chol and
+    the Phix/Phiu rows replay the constrained branch on each column —
+    the vector analog of riccati_factorizer.cpp:58-89). lx_b/lu_b/xres_b:
+    (N, R, ·); lxN_b: (R, nx); Pc_b: (N, R, nf) switching-residual
+    columns (None = zeros). Returns (p_b (N+1, R, nx), k_b (N, R, nu),
+    mx_b (N, R, nf) or None).
     """
+    P_all = policy.P
+    constrained = data.Phix is not None and policy.Mx is not None
+
+    if constrained:
+        if Pc_b is None:
+            Pc_b = jnp.zeros(lu_b.shape[:2] + (data.Phix.shape[1],),
+                             lu_b.dtype)
+
+        def step_c(p_next, blk):
+            (A, B, Qxu, Quu, lxb, lub, xrb, Pcb, P_next,
+             Phix, Phiu, sw, GiPhiuT, Sinv) = blk
+            Pxr_p = xrb @ P_next.T + p_next        # (R, nx)
+            gu = lub + Pxr_p @ B                   # (R, nu)
+            G = Quu + B.T @ P_next @ B
+            H = Qxu + A.T @ P_next @ B
+            k_plain = -(gu @ spd_inverse(G))
+            mx = ((k_plain @ Phiu.T + Pcb) * sw) @ Sinv.T
+            k = k_plain - mx @ GiPhiuT.T
+            p = lxb + Pxr_p @ A + k @ H.T + mx @ Phix
+            return p, (p, k, mx)
+
+        _, (ps, ks, mxs) = jax.lax.scan(
+            step_c, lxN_b,
+            (data.A, data.B, data.Qxu, data.Quu, lx_b, lu_b, xres_b,
+             Pc_b, P_all[1:], data.Phix, data.Phiu, data.sw,
+             policy.GiPhiuT, policy.S_chol),
+            reverse=True)
+        p_all = jnp.concatenate([ps, lxN_b[None]], axis=0)
+        return p_all, ks, mxs
 
     def step(p_next, blk):
         A, B, Qxu, Quu, lxb, lub, xrb, P_next = blk
@@ -148,7 +183,7 @@ def backward_vec(data: LQRData, P_all, lx_b, lu_b, xres_b, lxN_b):
         (data.A, data.B, data.Qxu, data.Quu, lx_b, lu_b, xres_b, P_all[1:]),
         reverse=True)
     p_all = jnp.concatenate([ps, lxN_b[None]], axis=0)
-    return p_all, ks
+    return p_all, ks, None
 
 
 def forward_vec(data: LQRData, K_all, P_all, p_b, k_b, xres_b, dx0_b):
@@ -168,7 +203,17 @@ def forward_vec(data: LQRData, K_all, P_all, p_b, k_b, xres_b, dx0_b):
     return dx_all, dus, dlmd
 
 
-def solve_columns(data: LQRData, policy, lx_b, lu_b, xres_b, lxN_b, dx0_b):
-    """Solve the factored system for extra RHS columns, reusing policy.P/K."""
-    p_b, k_b = backward_vec(data, policy.P, lx_b, lu_b, xres_b, lxN_b)
-    return forward_vec(data, policy.K, policy.P, p_b, k_b, xres_b, dx0_b)
+def solve_columns(data: LQRData, policy, lx_b, lu_b, xres_b, lxN_b, dx0_b,
+                  Pc_b=None):
+    """Solve the factored system for extra RHS columns, reusing policy.P/K.
+    Returns (dx_b, du_b, dlmd_b, dxi_b) — dxi_b is None when the data has
+    no switching-constraint rows, else (N, R, nf) multiplier columns."""
+    p_b, k_b, mx_b = backward_vec(data, policy, lx_b, lu_b, xres_b,
+                                  lxN_b, Pc_b)
+    dx_b, du_b, dlmd_b = forward_vec(data, policy.K, policy.P, p_b, k_b,
+                                     xres_b, dx0_b)
+    dxi_b = None
+    if mx_b is not None:
+        dxi_b = (jnp.einsum("nfx,nrx->nrf", policy.Mx, dx_b[:-1]) + mx_b) \
+            * data.sw[:, None, :]
+    return dx_b, du_b, dlmd_b, dxi_b

@@ -72,7 +72,12 @@ class OCPSolverSTO:
     def __init__(self, model, contacts, costs, limits,
                  schedule: ContactSchedule, t0: float, T: float, N: int,
                  sto_costs=(), min_dwell_times=None,
-                 options: STOSolverOptions = STOSolverOptions()):
+                 options: STOSolverOptions = STOSolverOptions(),
+                 switching_constraints: bool = True):
+        """switching_constraints: impose the pure-state touchdown
+        constraint on every impact-bearing horizon, as the reference does
+        unconditionally (reference time_discretization.cpp:138-142,
+        intermediate_stage.cpp:124, switching_constraint.cpp:7-62)."""
         self.model, self.contacts = model, contacts
         self.costs = tuple(costs) if isinstance(costs, (tuple, list)) \
             else (costs,)
@@ -80,6 +85,7 @@ class OCPSolverSTO:
         self.limits = limits
         self.options = options
         self.schedule = schedule
+        self.enable_sw = bool(switching_constraints)
         self.t0, self.T, self.N = float(t0), float(T), int(N)
         self.disc = PhaseDiscretization(schedule, t0, T, N,
                                         dtype=model.dtype)
@@ -93,13 +99,14 @@ class OCPSolverSTO:
 
     def _make_jits(self, disc: PhaseDiscretization):
         o = self.options
+        sw = self.enable_sw and disc.n_impact_slots > 0
         self._upd = jax.jit(functools.partial(
             _sto_update, self.model, self.contacts, self.limits,
             o.barrier, o.fraction_to_boundary_rule, disc, self.dwell_con,
-            o.max_dts))
+            o.max_dts, enable_sw=sw))
         self._kkt = jax.jit(functools.partial(
             _sto_kkt_error, self.model, self.contacts, self.limits,
-            o.barrier, disc, self.dwell_con))
+            o.barrier, disc, self.dwell_con, enable_sw=sw))
 
     def init_solution(self, q, v, ts=None,
                       f_init: Optional[jnp.ndarray] = None):
@@ -177,22 +184,28 @@ class OCPSolverSTO:
 # ---------------------------------------------------------------------------
 
 def _linearized_build(model, contacts, limits, barrier, disc, costs, sol,
-                      q_init, v_init, ts):
-    """Primal build + tangent columns of (xres, lx, lu, Lagrangian) wrt the
-    switching times: one traced primal, E cheap tangent replays."""
+                      q_init, v_init, ts, enable_sw=False):
+    """Primal build + tangent columns of (xres, lx, lu, [Pc,] Lagrangian)
+    wrt the switching times: one traced primal, E cheap tangent replays.
+    With enable_sw the switching-constraint residual rows Pc and the
+    xi^T P term of the Lagrangian ride the same jax.linearize — the
+    reference's Phit rows (switching_constraint.cpp:56-60) emerge as the
+    ts-tangents of the condensed rows."""
     n_imp = disc.n_impact_slots
 
     def fbuild(ts_):
         grid = disc.grid(ts_)
-        data, blocks, dx0, kkt_sq, total_cost, _ = OS._build(
+        data, blocks, dx0, kkt_sq, total_cost, sw_aux = OS._build(
             model, contacts, limits, barrier, n_imp, costs, sol,
-            grid, q_init, v_init)
+            grid, q_init, v_init, enable_sw=enable_sw)
         lam = jnp.concatenate([sol.lmd[1:], sol.gmm[1:]], axis=1)
-        scalar = total_cost + jnp.sum(lam * data.xres)
-        return (data.xres, data.lx, data.lu, scalar), \
+        scalar = total_cost + jnp.sum(lam * data.xres) \
+            + sw_aux["lagrangian"]
+        Pc = data.Pc if enable_sw else jnp.zeros((), ts_.dtype)
+        return (data.xres, data.lx, data.lu, Pc, scalar), \
             (data, blocks, dx0, kkt_sq)
 
-    (xres0, lx0, lu0, scalar0), lin, aux = jax.linearize(
+    (xres0, lx0, lu0, Pc0, scalar0), lin, aux = jax.linearize(
         fbuild, ts, has_aux=True)
     E = ts.shape[0]
     eye = jnp.eye(E, dtype=ts.dtype)
@@ -200,30 +213,32 @@ def _linearized_build(model, contacts, limits, barrier, disc, costs, sol,
     S_xres = jnp.stack([t[0] for t in tangents], axis=1)   # (S-1, E, nx)
     S_lx = jnp.stack([t[1] for t in tangents], axis=1)
     S_lu = jnp.stack([t[2] for t in tangents], axis=1)
-    lt_dyn = jnp.stack([t[3] for t in tangents])            # (E,)
-    return aux, S_xres, S_lx, S_lu, lt_dyn
+    S_Pc = jnp.stack([t[3] for t in tangents], axis=1) if enable_sw \
+        else None                                          # (S-1, E, nf)
+    lt_dyn = jnp.stack([t[4] for t in tangents])            # (E,)
+    return aux, S_xres, S_lx, S_lu, S_Pc, lt_dyn
 
 
 def _sto_update(model, contacts, limits, barrier, ftb,
                 disc: PhaseDiscretization, dwell_con, max_dts,
                 costs, sto_costs, sol, ts, st: dwell.DwellState,
-                q_init, v_init, sto_reg):
+                q_init, v_init, sto_reg, enable_sw=False):
     """One coupled Newton update on (solution, switching times)."""
     dtype = sol.q.dtype
     E = disc.E
     mask = disc.sto_mask
 
-    (data, blocks, dx0, kkt_sq), S_xres, S_lx, S_lu, lt_dyn = \
+    (data, blocks, dx0, kkt_sq), S_xres, S_lx, S_lu, S_Pc, lt_dyn = \
         _linearized_build(model, contacts, limits, barrier, disc, costs,
-                          sol, q_init, v_init, ts)
+                          sol, q_init, v_init, ts, enable_sw=enable_sw)
 
     # ---- base Riccati solve + E cross-derivative columns ----------------
     policy = lqr.backward(data)
     dx, du, dlmd_all = lqr.forward(data, policy, dx0)
     nx = data.lx_N.shape[0]
-    Zdx, Zdu, Zdlmd = lqr.solve_columns(
+    Zdx, Zdu, Zdlmd, Zdxi = lqr.solve_columns(
         data, policy, S_lx, S_lu, S_xres,
-        jnp.zeros((E, nx), dtype), jnp.zeros((E, nx), dtype))
+        jnp.zeros((E, nx), dtype), jnp.zeros((E, nx), dtype), Pc_b=S_Pc)
 
     # ---- STO cost + dwell-time PDIPM ------------------------------------
     _, lt_sto, Qtt_sto = sto_cost_mod.quadratize(sto_costs, ts)
@@ -240,6 +255,13 @@ def _sto_update(model, contacts, limits, barrier, ftb,
     Qcross = (jnp.einsum("iek,ilk->el", S_lx, Zdx[:-1])
               + jnp.einsum("iek,ilk->el", S_lu, Zdu)
               + jnp.einsum("iek,ilk->el", S_xres, Zdlmd[1:]))
+    if enable_sw and policy.Mx is not None:
+        # switching-multiplier response: the ts-tangents of the condensed
+        # constraint rows couple to dxi exactly as xres couples to dlmd
+        dxi_base = (jnp.einsum("nfx,nx->nf", policy.Mx, dx[:-1])
+                    + policy.mx) * data.sw
+        lt_red = lt_red + jnp.einsum("iek,ik->e", S_Pc, dxi_base)
+        Qcross = Qcross + jnp.einsum("iek,ilk->el", S_Pc, Zdxi)
     Qtt_red = Qtt + 0.5 * (Qcross + Qcross.T)
     mm = mask[:, None] * mask[None, :]
     Qtt_red = Qtt_red * mm + jnp.diag(1.0 - mask)
@@ -276,7 +298,8 @@ def _sto_update(model, contacts, limits, barrier, ftb,
     new_sol, _, a_p, _ = OS._update(model, contacts, limits, barrier, ftb,
                                     disc.n_impact_slots, costs, sol,
                                     disc.grid(ts_new),
-                                    q_init, v_init, enable_ls="kkt")
+                                    q_init, v_init, enable_ls="kkt",
+                                    enable_sw=enable_sw)
 
     lt_kkt = (lt_dyn + lt_sto + dwell_con.J.T @ st.dual) * mask
     kkt_total = (kkt_sq + jnp.sum(lt_kkt ** 2)
@@ -286,7 +309,8 @@ def _sto_update(model, contacts, limits, barrier, ftb,
 
 def _sto_kkt_error(model, contacts, limits, barrier,
                    disc: PhaseDiscretization, dwell_con,
-                   costs, sto_costs, sol, ts, st, q_init, v_init):
+                   costs, sto_costs, sol, ts, st, q_init, v_init,
+                   enable_sw=False):
     """KKT error including switching-time stationarity (the reference's
     Hamiltonian-continuity terms, switching_time_optimization.cpp:120-136)
     and dwell-time PDIPM residuals."""
@@ -294,11 +318,12 @@ def _sto_kkt_error(model, contacts, limits, barrier,
 
     def scalar_fn(ts_):
         grid = disc.grid(ts_)
-        data, _, _, kkt_sq, total_cost, _ = OS._build(
+        data, _, _, kkt_sq, total_cost, sw_aux = OS._build(
             model, contacts, limits, barrier, disc.n_impact_slots, costs,
-            sol, grid, q_init, v_init)
+            sol, grid, q_init, v_init, enable_sw=enable_sw)
         lam = jnp.concatenate([sol.lmd[1:], sol.gmm[1:]], axis=1)
-        return total_cost + jnp.sum(lam * data.xres), kkt_sq
+        return (total_cost + jnp.sum(lam * data.xres)
+                + sw_aux["lagrangian"]), kkt_sq
 
     (_, kkt_sq), lt_dyn = jax.value_and_grad(scalar_fn, has_aux=True)(ts)
     _, lt_sto, _ = sto_cost_mod.quadratize(sto_costs, ts)

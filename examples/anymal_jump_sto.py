@@ -76,6 +76,15 @@ def main():
           " (initial: [%.2f %.2f])" % (ground_time,
                                        ground_time + flying_time))
     print("wall: %.1fs (incl. compile)" % (time.time() - t_start))
+    # write a self-contained HTML animation of the optimized trajectory
+    # (reference trajectory_viewer.py parity; no viewer server needed)
+    from robotoc_tpu.utils.trajectory_viewer import TrajectoryViewer
+    grid = solver.disc.grid(ts)
+    out = TrajectoryViewer(m, contacts=contacts).write_html(
+        "anymal_jump_sto.html", sol.q, dt=float(np.mean(np.asarray(
+            grid.dt))), forces=np.asarray(sol.f),
+        title="ANYmal jump (STO)")
+    print("trajectory animation:", out)
 
 
 if __name__ == "__main__":

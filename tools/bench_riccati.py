@@ -20,6 +20,11 @@ import numpy as np
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--batch", type=int, default=128)
+parser.add_argument("--long", action="store_true",
+                    help="round-3 review item #7: the small-batch "
+                         "long-horizon regime (B in {1, 8}, N in "
+                         "{64, 256, 1024}) where the O(log N) "
+                         "associative scan should win")
 args = parser.parse_args()
 
 import jax
@@ -70,8 +75,11 @@ def timeit(fn, *a, n=30):
 
 def main():
     B = args.batch
+    Ns = (64, 256, 1024) if args.long else (20, 50, 100, 250)
+    if args.long:
+        B = 8
     results = []
-    for N in (20, 50, 100, 250):
+    for N in Ns:
         data, dx0 = random_lqr(jax.random.PRNGKey(N), N)
         # f64 oracle for accuracy
         data64 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), data)

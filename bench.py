@@ -37,7 +37,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 def emit(value_updates_per_s, note="", kkt=None):
     rec = {
         "metric": "ANYmal trot whole-body MPC updates/s "
-                  "(N=20, B=128 scenarios, max_iter=2, f32, switching "
+                  f"(N=20, B={os.environ.get('BENCH_B', '128')} "
+                  "scenarios, max_iter=2, f32, switching "
                   "constraints, Pallas condense+Riccati+chain, 1 chip)" + note,
         "value": round(value_updates_per_s, 1),
         "unit": "updates/s",
@@ -76,7 +77,7 @@ def main():
                           n_reserved_events=mpc.n_reserved)
     sol0 = solver.init_solution(grid, q0, v0)
 
-    B = 128  # scenario batch (MPC fleet)
+    B = int(os.environ.get("BENCH_B", "128"))  # scenario batch (MPC fleet)
     sols = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), sol0)
     key = jax.random.PRNGKey(0)
     dq = 0.03 * jax.random.normal(key, (B, 18), dtype)

@@ -49,7 +49,7 @@ def _bwd_kernel(nx, nu, nf, N, *refs):
         (A_ref, B_ref, xres_ref, Qxx_ref, Qxu_ref, Quu_ref,
          lx_ref, lu_ref, QxxN_ref, lxN_ref,
          K_ref, k_ref, P_ref, p_ref, P_s, p_s) = refs
-    i = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
@@ -104,21 +104,25 @@ def _bwd_kernel(nx, nu, nf, N, *refs):
 
 
 def _backward_flat(N, nx, nu, nf, dt, interpret, *arrs):
-    """arrs: batch-last (N, d1, d2, T) step arrays in kernel order
-    (A, B, xres, Qxx, Qxu, Quu, lx, lu[, Phix, Phiu, Pc, sw], QxxN, lxN);
-    T = lane dim."""
-    T = arrs[0].shape[-1]
+    """arrs: batch-last (N, d1, d2, T_total) step arrays in kernel order
+    (A, B, xres, Qxx, Qxu, Quu, lx, lu[, Phix, Phiu, Pc, sw], QxxN, lxN).
+    The lane axis is tiled at LANES per grid step (outer grid dim), so
+    fleets larger than 128 scenarios stay within the VMEM budget (B=256
+    overflowed the 16M scoped limit with a single full-width sweep)."""
+    T_total = arrs[0].shape[-1]
+    Bt = T_total // LANES
+    T = LANES
 
     def step_spec(shape_head):
         nd = len(shape_head)
         return pl.BlockSpec((1,) + shape_head + (T,),
-                            (lambda i: (N - 1 - i,) + (0,) * (nd + 1)),
+                            (lambda b, i: (N - 1 - i,) + (0,) * nd + (b,)),
                             memory_space=pltpu.VMEM)
 
     def fix_spec(shape_head):
         nd = len(shape_head)
         return pl.BlockSpec(shape_head + (T,),
-                            (lambda i: (0,) * (nd + 1)),
+                            (lambda b, i: (0,) * nd + (b,)),
                             memory_space=pltpu.VMEM)
 
     con = nf > 0
@@ -133,18 +137,18 @@ def _backward_flat(N, nx, nu, nf, dt, interpret, *arrs):
     if con:
         out_heads += [(nf, nx), (nf,)]
     out_specs = tuple(step_spec(s) for s in out_heads)
-    out_shape = tuple(jax.ShapeDtypeStruct((N,) + s + (T,), dt)
+    out_shape = tuple(jax.ShapeDtypeStruct((N,) + s + (T_total,), dt)
                       for s in out_heads)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, nx, nu, nf, N),
-        grid=(N,),
+        grid=(Bt, N),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((nx, nx, T), dt),
                         pltpu.VMEM((nx, T), dt)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(*ins)
     if con:
@@ -176,8 +180,31 @@ def _solve_batched(interpret, data: LQRData, dx0):
         args += [to_lanes(a) for a in
                  (data.Phix, data.Phiu, data.Pc, data.sw)]
     args += [to_lanes(data.Qxx_N), to_lanes(data.lx_N)]
-    K, k, P, p, Mx, mx = _backward_flat(
-        N, nx, nu, nf, dt, interpret, *args)
+    if B_pad > LANES:
+        # chunk the fleet at 128 lanes per kernel call (lax.map keeps the
+        # traced graph single-copy): XLA's scoped-VMEM placement stages
+        # the FULL kernel outputs in VMEM, which overflows the 16M scoped
+        # limit beyond one lane tile (measured: B=256 -> 18.3M)
+        nch = B_pad // LANES
+
+        def split(a):
+            parts = jnp.split(a, nch, axis=-1)
+            return jnp.stack(parts, axis=0)
+
+        outs = jax.lax.map(
+            lambda ac: _backward_flat(N, nx, nu, nf, dt, interpret, *ac),
+            tuple(split(a) for a in args))
+
+        def join(o):
+            if o is None:
+                return None
+            o = jnp.moveaxis(o, 0, -2)            # (N, ..., nch, LANES)
+            return o.reshape(o.shape[:-2] + (B_pad,))
+
+        K, k, P, p, Mx, mx = [join(o) for o in outs]
+    else:
+        K, k, P, p, Mx, mx = _backward_flat(
+            N, nx, nu, nf, dt, interpret, *args)
 
     def from_lanes(x):
         return jnp.moveaxis(x, -1, 0)[:Bb]

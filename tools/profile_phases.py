@@ -20,6 +20,8 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--batch", type=int, default=128)
 parser.add_argument("--reps", type=int, default=10)
 parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--pallas", action="store_true",
+                    help="profile the Pallas path phases (round-4)")
 args = parser.parse_args()
 
 import jax
@@ -184,6 +186,62 @@ def main():
     timed("riccati+expand (B)",
           jax.jit(jax.vmap(functools.partial(expand_only))),
           sols, built_all[0], built_all[1], built_all[2])
+
+    if args.pallas:
+        from robotoc_tpu.ops import pallas_chain as pchain
+        from robotoc_tpu.riccati import pallas_scan as plscan
+
+        print("---- Pallas path (round-4) ----", flush=True)
+
+        def upd_p(sol, q0, v0):
+            s_, kkt, _, _ = OS._update(
+                m, mpc.contacts, mpc.limits, barrier, 0.995, n_imp,
+                costs, sol, grid, q0, v0, enable_sw=True,
+                use_pallas=True, use_chain=True)
+            return kkt
+
+        timed("full update PALLAS (sw, 1 it)", jax.jit(jax.vmap(upd_p)),
+              sols, q0s, v0s)
+
+        def build_p(sol, q0, v0):
+            data, blocks, dx0, kkt_sq, _, _ = OS._build(
+                m, mpc.contacts, mpc.limits, barrier, n_imp, costs, sol,
+                grid, q0, v0, enable_sw=True, use_pallas=True,
+                use_chain=True)
+            return kkt_sq, data.lx, dx0
+
+        timed("build PALLAS (chain+condense+sw)",
+              jax.jit(jax.vmap(build_p)), sols, q0s, v0s)
+
+        chain = pchain.get_chain(m, mpc.contacts)
+        rowm = jax.vmap(mpc.contacts.force_mask)(cmask)
+        timed("pallas chain kernel (B*N)", jax.jit(chain),
+              qs, vs, as_, fs * rowm, fric,
+              jnp.reshape(p_ref, (B * S,) + p_ref.shape[1:]))
+
+        def build_sw(sol, q0, v0):
+            return OS._build(m, mpc.contacts, mpc.limits, barrier, n_imp,
+                             costs, sol, grid, q0, v0, enable_sw=True,
+                             use_pallas=True, use_chain=True)
+
+        built_p = jax.jit(jax.vmap(build_sw))(sols, q0s, v0s)
+        jax.block_until_ready(built_p[3])
+        timed("pallas riccati sweep (B)",
+              jax.jit(jax.vmap(plscan.solve)), built_p[0], built_p[2])
+
+        def dirstep(sol, built_data, built_blocks, dx0, q0, v0):
+            built = (built_data, built_blocks, dx0,
+                     jnp.zeros((), dtype), jnp.zeros((), dtype),
+                     dict(lagrangian=jnp.zeros((), dtype)))
+            # expansion + step sizes + integrate, riccati included
+            out = OS._direction_and_step(
+                m, mpc.contacts, mpc.limits, barrier, 0.995, n_imp,
+                costs, sol, grid, q0, v0, built, riccati=plscan)
+            return out[1]
+
+        timed("riccati+expand+integrate (B)",
+              jax.jit(jax.vmap(dirstep)),
+              sols, built_p[0], built_p[1], built_p[2], q0s, v0s)
 
 
 if __name__ == "__main__":

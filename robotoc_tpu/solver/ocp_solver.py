@@ -80,7 +80,15 @@ class SolverOptions:
         pytree_node=False, default=0.995)
     parallel_riccati: bool = struct.field(pytree_node=False, default=False)
     """Use the O(log N)-depth associative-scan Riccati
-    (riccati/parallel.py) instead of the serial scan."""
+    (riccati/parallel.py) instead of the serial scan. Measured regime
+    (BENCH_NOTES round-4, v5e f32, nx=36/nu=12): wins ONLY unbatched
+    (B=1), 1.06-1.27x growing with N (e.g. N=1024: 35.6 -> 28.0 ms);
+    loses 4-7x whenever a scenario batch is vmapped over it, so the
+    serial scan / Pallas sweep stay the fleet defaults. In f32 the
+    null-space element transform is also less robust on stiff contact
+    problems (one perturbed trot scenario in 16 diverges under full
+    steps). Prefer riccati/partitioned.py for long horizons across
+    chips."""
     enable_line_search: bool = struct.field(pytree_node=False, default=False)
     """Merit-backtracking line search (reference line_search/)."""
     switching_constraints: bool = struct.field(

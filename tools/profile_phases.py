@@ -153,10 +153,10 @@ def main():
                              qs, vs, as_, fs, fric, p_ref, R_ref, cmask)
 
     # mjtj on cached (M, J): measure the inverse alone
-    Ms = jnp.broadcast_to(jnp.eye(18, dtype)[None], (B * S, 18, 18)) \
+    Ms = jnp.broadcast_to(jnp.eye(18, dtype=dtype)[None], (B * S, 18, 18)) \
         + 0.01 * jax.random.normal(key, (B * S, 18, 18), dtype)
     Ms = 0.5 * (Ms + jnp.swapaxes(Ms, -1, -2)) \
-        + 18 * jnp.eye(18, dtype)[None]
+        + 18 * jnp.eye(18, dtype=dtype)[None]
     Js = jax.random.normal(key, (B * S, 12, 18), dtype)
     inact = jnp.zeros((B * S, 12), dtype)
     timed("mjtj_inverse alone (B*N)",
@@ -229,19 +229,17 @@ def main():
         timed("pallas riccati sweep (B)",
               jax.jit(jax.vmap(plscan.solve)), built_p[0], built_p[2])
 
-        def dirstep(sol, built_data, built_blocks, dx0, q0, v0):
-            built = (built_data, built_blocks, dx0,
-                     jnp.zeros((), dtype), jnp.zeros((), dtype),
-                     dict(lagrangian=jnp.zeros((), dtype)))
+        def dirstep(sol, built, q0, v0):
             # expansion + step sizes + integrate, riccati included
             out = OS._direction_and_step(
                 m, mpc.contacts, mpc.limits, barrier, 0.995, n_imp,
-                costs, sol, grid, q0, v0, built, riccati=plscan)
+                costs, sol, grid, q0, v0, built, riccati=plscan,
+                enable_sw=True)
             return out[1]
 
         timed("riccati+expand+integrate (B)",
               jax.jit(jax.vmap(dirstep)),
-              sols, built_p[0], built_p[1], built_p[2], q0s, v0s)
+              sols, built_p, q0s, v0s)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # f32 Riccati/condensing needs true f32 matmuls: the MXU's default bf16
 # passes lose too much precision for the ill-conditioned cost Hessians
 # (q_weight 2.5e5 vs a_weight 1e-6).
-jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_default_matmul_precision",
+                  os.environ.get("BENCH_PREC", "highest"))
 
 
 def emit(value_updates_per_s, note="", kkt=None):

@@ -30,7 +30,7 @@ from robotoc_tpu.sim.simulator import LeggedSimulator
 
 GAITS = {
     # gait -> (class, step [m/step], swing_time, swing_height)
-    "pace": (MPCPace, np.array([0.10, 0, 0]), 0.25, 0.10),
+    "pace": (MPCPace, np.array([0.05, 0, 0]), 0.25, 0.08),
     "crawl": (MPCCrawl, np.array([0.08, 0, 0]), 0.25, 0.08),
     "flying_trot": (MPCFlyingTrot, np.array([0.15, 0, 0]), 0.20, 0.10),
 }
@@ -44,9 +44,14 @@ def main():
     mpc = cls(m, T=T, N=N)
     planner = mpc.make_planner()
     planner.set_gait_pattern(step, 0.0)
-    mpc.set_gait_pattern(planner, swing_height=swing_height,
-                         swing_time=swing_time, stance_time=0.0,
-                         swing_start_time=0.5)
+    if gait == "flying_trot":
+        mpc.set_gait_pattern(planner, swing_height=swing_height,
+                             swing_time=swing_time, flying_time=0.06,
+                             swing_start_time=0.5)
+    else:
+        mpc.set_gait_pattern(planner, swing_height=swing_height,
+                             swing_time=swing_time, stance_time=0.0,
+                             swing_start_time=0.5)
 
     q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
                       -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0])

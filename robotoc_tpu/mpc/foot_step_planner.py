@@ -166,6 +166,20 @@ class GaitFootStepPlanner:
                 self.current_step = 0
             com = np.mean([pos[i] - R @ self.com_to_foot_local[i]
                            for i in range(self.nc)], axis=0)
+        elif not any(active):
+            # flight phase (flying trot): every foot is airborne — plan as
+            # mid-step of the CURRENT swing pair (the next touchdown is
+            # that pair's landing; reference flying_trot_foot_step_planner
+            # handles the all-swing state the same way)
+            if self.current_step == 0:
+                self.current_step = 1
+            com = np.mean([pos[i] - R @ self.com_to_foot_local[i]
+                           for i in range(self.nc)], axis=0)
+            swing = self.swing_set(self.current_step)
+            for i in swing:
+                pos[i] = com + R @ (self.com_to_foot_local[i]
+                                    - 0.5 * self.step_length)
+                pos[i] = self._snap(pos[i])
         else:
             swing = tuple(i for i in range(self.nc) if not active[i])
             match = None

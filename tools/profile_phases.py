@@ -241,6 +241,47 @@ def main():
               jax.jit(jax.vmap(dirstep)),
               sols, built_p, q0s, v0s)
 
+        # stage_pre (XLA glue: cost quadratize + PDIPM vectors + state
+        # eq + residuals) with the chain outputs precomputed, and the
+        # condense kernel alone on the pre outputs
+        import functools as _ft
+        from robotoc_tpu.ocp import contact_stage as _cs
+        from robotoc_tpu.ops import pallas_condense as _pc
+
+        chain_fn = pchain.get_chain(m, mpc.contacts)
+
+        def pre_all(sol, q0, v0):
+            dtg = grid.dt
+            pre_args = (grid.t[:-1], dtg, jnp.full_like(dtg, barrier),
+                        sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1],
+                        sol.f[:-1], sol.beta[:-1], sol.mu[:-1],
+                        sol.lmd[:-1], sol.gmm[:-1], sol.lmd[1:],
+                        sol.gmm[1:], sol.q[1:], sol.v[1:], sol.s_lim,
+                        sol.z_lim, sol.s_cone, sol.z_cone,
+                        grid.contact_mask[:-1], grid.p_ref[:-1],
+                        grid.friction[:-1], grid.R_ref[:-1])
+            rowmask = jax.vmap(mpc.contacts.force_mask)(
+                grid.contact_mask[:-1])
+            co = chain_fn(sol.q[:-1], sol.v[:-1], sol.a[:-1],
+                          sol.f[:-1] * rowmask, grid.friction[:-1],
+                          grid.p_ref[:-1])
+            pre_fn = _ft.partial(_cs.stage_pre, m, mpc.contacts, costs,
+                                 mpc.limits)
+            return jax.vmap(lambda c, *a: pre_fn(*a, chain_out=c))(
+                co, *pre_args)
+
+        pre_out = jax.jit(jax.vmap(pre_all))(sols, q0s, v0s)
+        jax.block_until_ready(pre_out["gw"])
+        timed("stage_pre XLA glue (incl chain)",
+              jax.jit(jax.vmap(pre_all)), sols, q0s, v0s)
+
+        kin_names = [k for k in pre_out if not k.startswith("aux_")]
+        kin = {k: pre_out[k] for k in kin_names}
+        cond = _pc.get_condense(m.nv, m.dimu, mpc.contacts.max_dimf,
+                                mpc.contacts.dimc_cone)
+        timed("pallas condense kernel (B)",
+              jax.jit(jax.vmap(lambda kk: cond(**kk))), kin)
+
 
 if __name__ == "__main__":
     main()

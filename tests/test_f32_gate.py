@@ -72,7 +72,11 @@ def test_f32_mpc_kkt_trace_matches_f64():
     kkt64 = _run(True)
     assert np.all(np.isfinite(kkt32))
     # MPC-grade tolerance: the warm-started trace stays small in f32
-    assert np.max(kkt32) < 1.0, kkt32
-    # and tracks the f64 trace within a constant factor + an f32 floor
+    assert np.max(kkt32) < 0.8, kkt32
+    # and tracks the f64 trace STEP BY STEP (measured round-4: medians
+    # agree to 4 significant digits — 0.011115 vs 0.011112 — so a 2x
+    # per-step envelope with a small floor catches any order-of-magnitude
+    # f32 precision regression, round-3 review Weak #5)
+    assert np.all(kkt32 <= 2.0 * kkt64 + 5e-3), (kkt32, kkt64)
     med32, med64 = np.median(kkt32), np.median(kkt64)
-    assert med32 < 10.0 * med64 + 1e-2, (med32, med64)
+    assert med32 < 2.0 * med64 + 1e-3, (med32, med64)

@@ -207,3 +207,13 @@ def _multipliers(A, B, c, Qxu, Quu, lu, Phiu, sw, P_next, p_next, Ke, ke):
     Mx = -(Sphi_i @ (Phiu_m @ Mcoef)) * sw[:, None]
     mx = -(Sphi_i @ (Phiu_m @ mvec)) * sw
     return Mx, mx
+
+
+class PartitionedRiccati:
+    """Adapter matching the `riccati` backend interface of
+    solver/ocp_solver.py (`.solve(data, dx0)`): pass an instance as
+    `OS._solve(..., riccati=PartitionedRiccati(mesh, "tp"))` to run the
+    full OCP solve with the horizon sharded over the mesh."""
+
+    def __init__(self, mesh: Mesh, axis_name: str):
+        self.solve = make_solve(mesh, axis_name)

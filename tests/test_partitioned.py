@@ -83,3 +83,56 @@ def test_partitioned_long_horizon():
     dx_p = jax.jit(partitioned.make_solve(mesh, "tp"))(data, dx0)[0]
     np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_s),
                                rtol=1e-7, atol=1e-7)
+
+
+def test_ocp_solve_with_partitioned_riccati():
+    """Full contact OCP solve with the horizon sharded over the mesh:
+    same converged solution as the serial backend."""
+    import jax.numpy as jnp
+
+    from robotoc_tpu.constraints.joint_limits import make_joint_limits
+    from robotoc_tpu.costs.config_cost import make_config_cost
+    from robotoc_tpu.models import (forward_kinematics, frame_placement,
+                                    load_robot)
+    from robotoc_tpu.models.contacts import make_contacts
+    from robotoc_tpu.planner.contact_sequence import (ContactSchedule,
+                                                      discretize)
+    from robotoc_tpu.solver import ocp_solver as OS
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("tp",))
+    m = load_robot("anymal")
+    feet = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
+    contacts = make_contacts(m, feet, baumgarte_time_step=0.04)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0])
+    qw = jnp.asarray([0, 0, 0, 1e4, 1e4, 1e4] + [0.01] * 12)
+    vw = jnp.asarray([10.0] * 6 + [1.0] * 12)
+    cost = make_config_cost(m, q_ref=q0, q_weight=qw, v_weight=vw,
+                            a_weight=1e-6, u_weight=1e-2,
+                            q_weight_terminal=qw, v_weight_terminal=vw)
+    lim = make_joint_limits(m, u_limit=jnp.full(12, 80.0),
+                            v_limit=jnp.full(12, 15.0))
+    Rw, pw = forward_kinematics(m, q0)
+    plc = np.stack(
+        [np.asarray(frame_placement(m, m.frame_id(f), Rw, pw)[1])
+         for f in feet])
+    sched = ContactSchedule(nc=4).init([True] * 4, plc)
+    N = 31    # 32 slots -> 4 per device
+    grid = discretize(sched, 0.0, 0.025 * N, N)
+    v0 = jnp.zeros(18)
+    sol0 = OS.make_initial_solution(m, contacts, lim, 1e-3, grid, q0, v0)
+
+    import functools as ft
+    solve_ser = jax.jit(ft.partial(
+        OS._solve, m, contacts, lim, 12, 1e-6, 1e-3, 0.995, 0,
+        riccati=lqr))
+    solve_par = jax.jit(ft.partial(
+        OS._solve, m, contacts, lim, 12, 1e-6, 1e-3, 0.995, 0,
+        riccati=partitioned.PartitionedRiccati(mesh, "tp")))
+    s_ser, st_ser = solve_ser((cost,), sol0, grid, q0, v0)
+    s_par, st_par = solve_par((cost,), sol0, grid, q0, v0)
+    assert bool(st_ser["convergence"]) and bool(st_par["convergence"])
+    np.testing.assert_allclose(np.asarray(s_par.q), np.asarray(s_ser.q),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_par.u), np.asarray(s_ser.u),
+                               atol=1e-6)

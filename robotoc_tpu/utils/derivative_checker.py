@@ -6,24 +6,29 @@ first/second-order cost derivatives at stage/terminal/impact grids. Here the
 oracle direction is reversed: components compute derivatives via autodiff,
 and this checker validates them against central finite differences over the
 configuration tangent (catching convention bugs autodiff alone cannot).
+
+Each gradient check is ONE jitted+vmapped batched evaluation over the
+stacked ±eps basis perturbations (the old per-coordinate eager loop cost
+~150 s per cost component on the CPU test suite — round-4 durations).
 """
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..models import robot as rm
 
 
-def _fd_grad(f, x, eps):
-    x = np.asarray(x, float)
-    g = np.zeros_like(x)
-    for i in range(x.size):
-        e = np.zeros_like(x)
-        e[i] = eps
-        g[i] = (f(x + e) - f(x - e)) / (2 * eps)
-    return g
+def _fd_grad_batched(fn, dim, eps, dtype):
+    """Central-difference gradient of scalar fn over R^dim: one vmapped
+    evaluation of fn at the 2*dim signed basis points."""
+    eye = jnp.eye(dim, dtype=dtype) * jnp.asarray(eps, dtype)
+    E = jnp.concatenate([eye, -eye], axis=0)
+    vals = jax.jit(jax.vmap(fn))(E)
+    vals = np.asarray(vals, dtype=float)
+    return (vals[:dim] - vals[dim:]) / (2.0 * eps)
 
 
 class DerivativeChecker:
@@ -43,60 +48,45 @@ class DerivativeChecker:
                 f"{np.asarray(analytic)}\n fd={fd}")
         return True
 
+    def _grad(self, fn, dim):
+        return _fd_grad_batched(fn, dim, self.eps, self.model.dtype)
+
     def check_first_order_stage(self, cost, nf, q, v, a, u, f, t, dt):
         m = self.model
         quad = cost.quadratize_stage(m, nf, q, v, a, u, f, t, dt)
-
-        def on_q(e):
-            return float(cost.eval_stage(
-                m, rm.integrate(m, q, jnp.asarray(e, m.dtype)), v, a, u, f,
-                t, dt))
-
-        self._check("lq", quad.lq, _fd_grad(on_q, np.zeros(m.nv), self.eps))
-        self._check("lv", quad.lv, _fd_grad(
-            lambda e: float(cost.eval_stage(
-                m, q, v + jnp.asarray(e, m.dtype), a, u, f, t, dt)),
-            np.zeros(m.nv), self.eps))
-        self._check("la", quad.la, _fd_grad(
-            lambda e: float(cost.eval_stage(
-                m, q, v, a + jnp.asarray(e, m.dtype), u, f, t, dt)),
-            np.zeros(m.nv), self.eps))
-        self._check("lu", quad.lu, _fd_grad(
-            lambda e: float(cost.eval_stage(
-                m, q, v, a, u + jnp.asarray(e, m.dtype), f, t, dt)),
-            np.zeros(m.dimu), self.eps))
-        self._check("lf", quad.lf, _fd_grad(
-            lambda e: float(cost.eval_stage(
-                m, q, v, a, u, f + jnp.asarray(e, m.dtype), t, dt)),
-            np.zeros(f.shape[0]), self.eps))
+        self._check("lq", quad.lq, self._grad(
+            lambda e: cost.eval_stage(m, rm.integrate(m, q, e), v, a, u,
+                                      f, t, dt), m.nv))
+        self._check("lv", quad.lv, self._grad(
+            lambda e: cost.eval_stage(m, q, v + e, a, u, f, t, dt), m.nv))
+        self._check("la", quad.la, self._grad(
+            lambda e: cost.eval_stage(m, q, v, a + e, u, f, t, dt), m.nv))
+        self._check("lu", quad.lu, self._grad(
+            lambda e: cost.eval_stage(m, q, v, a, u + e, f, t, dt),
+            m.dimu))
+        self._check("lf", quad.lf, self._grad(
+            lambda e: cost.eval_stage(m, q, v, a, u, f + e, t, dt),
+            f.shape[0]))
         return True
 
     def check_first_order_terminal(self, cost, q, v, t):
         m = self.model
         quad = cost.quadratize_terminal(m, q, v, t)
-        self._check("lq_terminal", quad.lq, _fd_grad(
-            lambda e: float(cost.eval_terminal(
-                m, rm.integrate(m, q, jnp.asarray(e, m.dtype)), v, t)),
-            np.zeros(m.nv), self.eps))
-        self._check("lv_terminal", quad.lv, _fd_grad(
-            lambda e: float(cost.eval_terminal(
-                m, q, v + jnp.asarray(e, m.dtype), t)),
-            np.zeros(m.nv), self.eps))
+        self._check("lq_terminal", quad.lq, self._grad(
+            lambda e: cost.eval_terminal(m, rm.integrate(m, q, e), v, t),
+            m.nv))
+        self._check("lv_terminal", quad.lv, self._grad(
+            lambda e: cost.eval_terminal(m, q, v + e, t), m.nv))
         return True
 
     def check_first_order_impact(self, cost, q, v, dv, t):
         m = self.model
         quad = cost.quadratize_impact(m, q, v, dv, t)
-        self._check("lq_impact", quad.lq, _fd_grad(
-            lambda e: float(cost.eval_impact(
-                m, rm.integrate(m, q, jnp.asarray(e, m.dtype)), v, dv, t)),
-            np.zeros(m.nv), self.eps))
-        self._check("lv_impact", quad.lv, _fd_grad(
-            lambda e: float(cost.eval_impact(
-                m, q, v + jnp.asarray(e, m.dtype), dv, t)),
-            np.zeros(m.nv), self.eps))
-        self._check("ldv_impact", quad.ldv, _fd_grad(
-            lambda e: float(cost.eval_impact(
-                m, q, v, dv + jnp.asarray(e, m.dtype), t)),
-            np.zeros(m.nv), self.eps))
+        self._check("lq_impact", quad.lq, self._grad(
+            lambda e: cost.eval_impact(m, rm.integrate(m, q, e), v, dv,
+                                       t), m.nv))
+        self._check("lv_impact", quad.lv, self._grad(
+            lambda e: cost.eval_impact(m, q, v + e, dv, t), m.nv))
+        self._check("ldv_impact", quad.ldv, self._grad(
+            lambda e: cost.eval_impact(m, q, v, dv + e, t), m.nv))
         return True

@@ -24,6 +24,7 @@ Q0 = jnp.array([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
                 -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0])
 
 
+@pytest.mark.slow
 def test_sharded_fleet_matches_single_device():
     assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
     m = load_robot("anymal")
@@ -73,6 +74,7 @@ def test_sharded_fleet_matches_single_device():
     assert np.isfinite(kmax) and kmax >= kmean
 
 
+@pytest.mark.slow
 def test_sharded_full_solve_matches_single_device():
     """FULL Newton solves (while_loop to tolerance) sharded over the
     8-device mesh equal the single-device solves, and converge

@@ -90,3 +90,46 @@ class DerivativeChecker:
         self._check("ldv_impact", quad.ldv, self._grad(
             lambda e: cost.eval_impact(m, q, v, dv + e, t), m.nv))
         return True
+
+    # -- second order (reference check_second_order_* family) -------------
+
+    def _hess(self, grad_fn, dim):
+        """FD Jacobian of a vector-valued gradient function: one vmapped
+        evaluation at the 2*dim signed basis points."""
+        dtype = self.model.dtype
+        eye = jnp.eye(dim, dtype=dtype) * jnp.asarray(self.eps, dtype)
+        E = jnp.concatenate([eye, -eye], axis=0)
+        G = np.asarray(jax.jit(jax.vmap(grad_fn))(E), dtype=float)
+        return (G[:dim] - G[dim:]) / (2.0 * self.eps)
+
+    def check_second_order_stage(self, cost, nf, q, v, a, u, f, t, dt):
+        """Gauss-Newton blocks vs FD of the analytic gradient. Exact for
+        quadratic costs (config space); task-space costs drop the
+        residual-curvature term by design (same as the reference's GN
+        quadratization), so call this only where the model is exact."""
+        m = self.model
+        quad = cost.quadratize_stage(m, nf, q, v, a, u, f, t, dt)
+        self._check("Qqq", quad.Qqq, self._hess(
+            lambda e: cost.quadratize_stage(
+                m, nf, rm.integrate(m, q, e), v, a, u, f, t, dt).lq,
+            m.nv))
+        self._check("Qvv", quad.Qvv, self._hess(
+            lambda e: cost.quadratize_stage(
+                m, nf, q, v + e, a, u, f, t, dt).lv, m.nv))
+        self._check("Qaa", quad.Qaa, self._hess(
+            lambda e: cost.quadratize_stage(
+                m, nf, q, v, a + e, u, f, t, dt).la, m.nv))
+        self._check("Quu", quad.Quu, self._hess(
+            lambda e: cost.quadratize_stage(
+                m, nf, q, v, a, u + e, f, t, dt).lu, m.dimu))
+        return True
+
+    def check_second_order_terminal(self, cost, q, v, t):
+        m = self.model
+        quad = cost.quadratize_terminal(m, q, v, t)
+        self._check("Qqq_terminal", quad.Qqq, self._hess(
+            lambda e: cost.quadratize_terminal(
+                m, rm.integrate(m, q, e), v, t).lq, m.nv))
+        self._check("Qvv_terminal", quad.Qvv, self._hess(
+            lambda e: cost.quadratize_terminal(m, q, v + e, t).lv, m.nv))
+        return True

@@ -42,6 +42,15 @@ def test_config_cost_derivatives(anymal):
     assert chk.check_first_order_stage(cost, 12, q, v, a, u, f, 0.3, 0.02)
     assert chk.check_first_order_terminal(cost, q, v, 0.5)
     assert chk.check_first_order_impact(cost, q, v, a, 0.4)
+    # second order (the reference's check_second_order_* family): the
+    # Gauss-Newton Qqq freezes the Lie-difference Jacobian, so it is the
+    # exact Hessian only at qdiff == 0 — evaluate there (cost referenced
+    # at the evaluation point); Qvv/Qaa/Quu are exact everywhere
+    cost_at_q = cost.replace(q_ref=q)
+    chk2 = DerivativeChecker(m, eps=1e-5, rtol=5e-3, atol=1e-4)
+    assert chk2.check_second_order_stage(cost_at_q, 12, q, v, a, u, f,
+                                         0.3, 0.02)
+    assert chk2.check_second_order_terminal(cost_at_q, q, v, 0.5)
 
 
 def test_task3d_cost_derivatives(anymal):

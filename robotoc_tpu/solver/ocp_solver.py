@@ -256,6 +256,48 @@ class OCPSolver:
                                      jnp.asarray(q_init),
                                      jnp.asarray(v_init)))
 
+    # -- solution access by name (reference ocp_solver.cpp:245-411) ------
+
+    def get_solution(self, sol: Solution, name: str):
+        """Horizon-stacked solution component by name
+        (reference OCPSolver::getSolution, ocp_solver.cpp:245-323).
+        Names: q, v, a, u, f, lmd, gmm, beta, mu, xi, and "f_WORLD"
+        (local contact forces rotated to the world frame per grid)."""
+        if name == "f_WORLD":
+            ct_ = self.contacts
+            m = self.model
+
+            def world(qk, fk):
+                Rw, pw = rm.forward_kinematics(m, qk)
+                outs = []
+                for c in range(ct_.n_contacts):
+                    off = ct_.f_offsets[c]
+                    Rc, _ = rm.frame_placement(m, ct_.frame_ids[c],
+                                               Rw, pw)
+                    outs.append(Rc @ fk[off:off + 3])
+                return jnp.concatenate(outs)
+
+            return jax.vmap(world)(sol.q, sol.f)
+        if not hasattr(sol, name):
+            raise ValueError(f"unknown solution component {name!r}")
+        return getattr(sol, name)
+
+    def set_solution(self, sol: Solution, name: str, value) -> Solution:
+        """Warm-start a component by name (reference
+        OCPSolver::setSolution, ocp_solver.cpp:341-411): `value` is
+        either one grid's vector (broadcast across the horizon) or a
+        full (n_slots, dim) array."""
+        if not hasattr(sol, name):
+            raise ValueError(f"unknown solution component {name!r}")
+        cur = getattr(sol, name)
+        value = jnp.asarray(value, cur.dtype)
+        if value.ndim == cur.ndim - 1:
+            value = jnp.broadcast_to(value, cur.shape)
+        if value.shape != cur.shape:
+            raise ValueError(
+                f"shape {value.shape} does not broadcast to {cur.shape}")
+        return sol.replace(**{name: value})
+
 
 # ---------------------------------------------------------------------------
 

@@ -97,3 +97,59 @@ def test_dynamics_feasible_at_solution():
         m, contacts, q, v, a, p))(sol.q[:-1], sol.v[:-1], sol.a[:-1],
                                   grid.p_ref[:-1])
     np.testing.assert_allclose(C, 0.0, atol=1e-7)
+
+
+def test_get_set_solution_by_name():
+    """Reference getSolution/setSolution parity
+    (ocp_solver.cpp:245-411)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robotoc_tpu.models import load_robot
+    from robotoc_tpu.models.contacts import make_contacts
+    from robotoc_tpu.constraints.joint_limits import make_joint_limits
+    from robotoc_tpu.costs.config_cost import make_config_cost
+    from robotoc_tpu.models import forward_kinematics, frame_placement
+    from robotoc_tpu.planner.contact_sequence import (ContactSchedule,
+                                                      discretize)
+    from robotoc_tpu.solver.ocp_solver import OCPSolver
+
+    m = load_robot("anymal")
+    feet = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
+    contacts = make_contacts(m, feet, baumgarte_time_step=0.04)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0])
+    cost = make_config_cost(m, q_ref=q0, q_weight=10.0, v_weight=1.0,
+                            a_weight=1e-6, u_weight=1e-2,
+                            q_weight_terminal=10.0, v_weight_terminal=1.0)
+    lim = make_joint_limits(m, u_limit=jnp.full(12, 80.0),
+                            v_limit=jnp.full(12, 15.0))
+    Rw, pw = forward_kinematics(m, q0)
+    plc = np.stack(
+        [np.asarray(frame_placement(m, m.frame_id(f), Rw, pw)[1])
+         for f in feet])
+    sched = ContactSchedule(nc=4).init([True] * 4, plc)
+    N = 6
+    grid = discretize(sched, 0.0, 0.025 * N, N)
+    solver = OCPSolver(m, contacts, (cost,), lim, T=0.025 * N, N=N)
+    sol = solver.init_solution(grid, q0, jnp.zeros(18))
+
+    q_all = solver.get_solution(sol, "q")
+    assert q_all.shape == (N + 1, m.nq)
+    fw = solver.get_solution(sol, "f_WORLD")
+    assert fw.shape == sol.f.shape
+    # rotation to world preserves per-contact force norms
+    fl3 = np.asarray(sol.f).reshape(N + 1, 4, 3)
+    fw3 = np.asarray(fw).reshape(N + 1, 4, 3)
+    np.testing.assert_allclose(np.linalg.norm(fw3, axis=-1),
+                               np.linalg.norm(fl3, axis=-1), atol=1e-6)
+    assert not np.allclose(fw3, fl3)   # frames are not axis-aligned
+    sol2 = solver.set_solution(sol, "v", jnp.ones(18))
+    assert np.allclose(np.asarray(sol2.v), 1.0)
+    sol3 = solver.set_solution(sol, "q", sol.q)
+    assert np.allclose(np.asarray(sol3.q), np.asarray(sol.q))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        solver.get_solution(sol, "nope")
+    with _pt.raises(ValueError):
+        solver.set_solution(sol, "u", jnp.zeros(5))

@@ -30,6 +30,9 @@ from robotoc_tpu.sim.simulator import LeggedSimulator
 
 GAITS = {
     # gait -> (class, step [m/step], swing_time, swing_height)
+    # pace note: simultaneous lateral-pair lift is only marginally
+    # stable on the simple penalty-ground plant (the reference demos it
+    # in PyBullet); the gait walks but with visible roll oscillation
     "pace": (MPCPace, np.array([0.05, 0, 0]), 0.25, 0.08),
     "crawl": (MPCCrawl, np.array([0.08, 0, 0]), 0.25, 0.08),
     "flying_trot": (MPCFlyingTrot, np.array([0.15, 0, 0]), 0.20, 0.10),

@@ -95,3 +95,46 @@ def test_anymal_c_trot_smoke():
                          stance_time=0.0, swing_start_time=0.5)
     arrs = _run_short(m, mpc, jnp.asarray(ANYMAL_C_Q0))
     assert np.all(np.isfinite(arrs["u"]))
+
+
+def test_flying_trot_smoke():
+    """Flying trot with flight phases (all-swing planner state)
+    closed-loop on the penalty plant (examples/anymal_gait_mpc.py)."""
+    from robotoc_tpu.mpc import MPCFlyingTrot
+
+    m = load_robot("anymal")
+    mpc = MPCFlyingTrot(m, T=0.5, N=10)
+    planner = mpc.make_planner()
+    planner.set_gait_pattern(np.array([0.15, 0.0, 0.0]), 0.0)
+    mpc.set_gait_pattern(planner, swing_height=0.1, swing_time=0.2,
+                         flying_time=0.06, swing_start_time=0.5)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0])
+    arrs = _run_short(m, mpc, q0, ticks=8)
+    assert np.all(np.isfinite(arrs["u"]))
+
+
+def test_jump_mpc_smoke():
+    """MPCJump open-loop updates + viewer write
+    (examples/anymal_jump_mpc.py)."""
+    from robotoc_tpu.mpc import MPCJump
+    from robotoc_tpu.utils.trajectory_viewer import TrajectoryViewer
+    import tempfile
+
+    m = load_robot("anymal")
+    mpc = MPCJump(m, T=0.85, N=10)
+    mpc.set_jump_pattern(jump_length=[0.1, 0.0, 0.0], jump_yaw=0.0,
+                         flying_time=0.25, ground_time=0.3)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0])
+    v0 = jnp.zeros(18)
+    kkt0 = mpc.init(0.0, q0, v0, num_iters=40)
+    assert np.isfinite(kkt0) and kkt0 < 1e-2
+    k = mpc.update_solution(0.05, 0.05, q0, v0, max_iter=2)
+    assert np.isfinite(k)
+    with tempfile.TemporaryDirectory() as d:
+        out = TrajectoryViewer(m, contacts=mpc.contacts).write_html(
+            d + "/jump.html", mpc.sol.q, dt=0.085,
+            forces=np.asarray(mpc.sol.f))
+        import os as _os
+        assert _os.path.getsize(out) > 1000

@@ -13,6 +13,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import jax
+
+# offline trajectory optimization runs f64 (the reference is
+# double-precision throughout; the aggressive 0.5 m jump's constrained
+# STO factors are marginal in f32)
+jax.config.update("jax_enable_x64", True)
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize pre-imports jax, so the env var alone is
+    # read too late — mirror it into jax.config (same as the other
+    # examples); f64 linear algebra needs the CPU backend
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 from robotoc_tpu.constraints.joint_limits import make_joint_limits
@@ -65,7 +75,15 @@ def main():
             weight=jnp.zeros(2, m.dtype)),),
         min_dwell_times=[0.15, 0.15, 0.1],
         options=STOSolverOptions(max_iter=60, kkt_tol=1e-6,
-                                 kkt_tol_mesh=1.0, max_dt_mesh=T / N))
+                                 kkt_tol_mesh=1.0, max_dt_mesh=T / N),
+        # the landing-placement switching constraint converges on
+        # feasible configurations (tests/test_sto_switching.py: 0.12 m
+        # jump, kkt < 1e-6, placement residual <= 1e-6); on THIS
+        # compressed horizon (T=0.85 vs the reference jump_sto.py's
+        # T~2.0) the 0.5 m landing pins ts2 at the min-dwell bound and
+        # the Gauss-Newton step cycles — run the cost-driven landing
+        # here, as round 3 did
+        switching_constraints=False)
     v0 = jnp.zeros(nv, m.dtype)
     t_start = time.time()
     sol, ts, stats = solver.solve(q0, v0, verbose=True)

@@ -278,6 +278,10 @@ def _sto_update(model, contacts, limits, barrier, ftb,
     evals = jnp.where(bad, jnp.abs(evals) + jnp.abs(g_modes) / max_dts
                       + eps_c, evals)
     dts = -(evecs @ (g_modes / evals)) * mask
+    # numerical-failure guard (mirrors the solver's dir_ok zeroing): a
+    # non-finite switching-time direction must not poison ts — the
+    # solution step below still proceeds at the unmoved grid
+    dts = jnp.where(jnp.isfinite(dts), dts, 0.0)
 
     # ---- apply: move the switching times, then take the solution step at
     # the MOVED grid. The dts direction anticipates the solution's response

@@ -95,6 +95,7 @@ class GaitFootStepPlanner:
         self.step_length = np.zeros(3)
         self.R_yaw = np.eye(3)
         self.enable_stance_phase = False
+        self.has_flight_phase = False
         self.enable_raibert = False
         self.raibert = None
         self.vcom_filter = None
@@ -166,21 +167,35 @@ class GaitFootStepPlanner:
                 self.current_step = 0
             com = np.mean([pos[i] - R @ self.com_to_foot_local[i]
                            for i in range(self.nc)], axis=0)
-        elif not any(active):
+        elif not any(active) and self.has_flight_phase:
             # flight phase (flying trot): every foot is airborne — plan as
             # mid-step of the CURRENT swing pair (the next touchdown is
             # that pair's landing; reference flying_trot_foot_step_planner
-            # handles the all-swing state the same way)
+            # handles the all-swing state the same way). Non-swing feet
+            # keep their measured (x, y) but snap to the terrain surface.
             if self.current_step == 0:
                 self.current_step = 1
             com = np.mean([pos[i] - R @ self.com_to_foot_local[i]
                            for i in range(self.nc)], axis=0)
             swing = self.swing_set(self.current_step)
-            for i in swing:
-                pos[i] = com + R @ (self.com_to_foot_local[i]
-                                    - 0.5 * self.step_length)
+            for i in range(self.nc):
+                if i in swing:
+                    pos[i] = com + R @ (self.com_to_foot_local[i]
+                                        - 0.5 * self.step_length)
                 pos[i] = self._snap(pos[i])
         else:
+            if not any(active):
+                # spurious momentary all-inactive reading in a gait that
+                # never schedules flight: keep the scheduled swing set and
+                # treat the remaining feet as stance at their measured,
+                # terrain-snapped placements (round-4 advisor finding)
+                if self.current_step == 0:
+                    self.current_step = 1
+                sched_swing = self.swing_set(self.current_step)
+                for i in range(self.nc):
+                    if i not in sched_swing:
+                        pos[i] = self._snap(pos[i])
+                active = [i not in sched_swing for i in range(self.nc)]
             swing = tuple(i for i in range(self.nc) if not active[i])
             match = None
             for k, c in enumerate(self.cycle):

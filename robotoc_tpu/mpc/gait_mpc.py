@@ -120,6 +120,7 @@ class PeriodicGaitMPC:
         """(reference MPC*::setGaitPattern; for flying trot, stance_time
         plays the reference's `flying_time` role via flying_time > 0)."""
         self.planner = planner
+        planner.has_flight_phase = flying_time > 0.0
         self.swing_height = float(swing_height)
         self.swing_time = float(swing_time)
         self.stance_time = float(stance_time)

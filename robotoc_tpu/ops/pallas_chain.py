@@ -30,6 +30,7 @@ the XLA path (ocp/contact_stage.stage_pre decides).
 """
 from __future__ import annotations
 
+import collections
 import functools
 from typing import NamedTuple, Optional
 
@@ -727,7 +728,8 @@ def make_chain(model, contacts, interpret=False):
     return fn
 
 
-_CHAIN_CACHE = {}
+_CHAIN_CACHE = collections.OrderedDict()
+_CHAIN_CACHE_MAX = 8
 
 
 def get_chain(model, contacts):
@@ -735,12 +737,18 @@ def get_chain(model, contacts):
     on CPU (tests). The cache VALUE holds strong references to the keyed
     objects and verifies identity on hit: a bare id() key could silently
     hand a recycled id a kernel with another model's baked-in constants
-    (round-3 advisor finding)."""
+    (round-3 advisor finding). Bounded LRU (round-4 advisor finding:
+    unbounded strong refs leaked compiled kernels + model arrays in
+    long-lived processes creating many models)."""
     interpret = jax.default_backend() == "cpu"
     key = (id(model), id(contacts), interpret)
     hit = _CHAIN_CACHE.get(key)
     if hit is not None and hit[0] is model and hit[1] is contacts:
+        _CHAIN_CACHE.move_to_end(key)
         return hit[2]
     fn = make_chain(model, contacts, interpret=interpret)
     _CHAIN_CACHE[key] = (model, contacts, fn)
+    _CHAIN_CACHE.move_to_end(key)
+    while len(_CHAIN_CACHE) > _CHAIN_CACHE_MAX:
+        _CHAIN_CACHE.popitem(last=False)
     return fn

@@ -22,6 +22,8 @@ from flax import struct
 
 import jax.numpy as jnp
 
+_BAKER_WARNED = False
+
 
 @dataclasses.dataclass
 class ContactPhase:
@@ -132,7 +134,15 @@ def discretize(schedule: ContactSchedule, t0: float, T: float, N: int,
             out = _native.bake_grid(schedule, t0, T, N, n_reserved)
         except ValueError:
             raise
-        except Exception:
+        except Exception as e:  # noqa: BLE001 - degrade to the Python path
+            global _BAKER_WARNED
+            if not _BAKER_WARNED:
+                _BAKER_WARNED = True
+                import warnings
+                warnings.warn(
+                    "native grid baker failed; falling back to the Python "
+                    f"path for this process: {type(e).__name__}: {e}",
+                    RuntimeWarning, stacklevel=2)
             out = None
         if out is not None:
             (t, dtv, cm, pr, fr, ii, im, Rr) = out

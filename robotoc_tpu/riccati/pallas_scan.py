@@ -110,6 +110,10 @@ def _backward_flat(N, nx, nu, nf, dt, interpret, *arrs):
     fleets larger than 128 scenarios stay within the VMEM budget (B=256
     overflowed the 16M scoped limit with a single full-width sweep)."""
     T_total = arrs[0].shape[-1]
+    if T_total % LANES != 0:
+        raise ValueError(
+            f"lane count {T_total} must be a multiple of {LANES}; "
+            "callers must pad the fleet axis")
     Bt = T_total // LANES
     T = LANES
 

@@ -258,11 +258,17 @@ class OCPSolver:
 
     # -- solution access by name (reference ocp_solver.cpp:245-411) ------
 
-    def get_solution(self, sol: Solution, name: str):
+    def get_solution(self, sol: Solution, name: str,
+                     grid: Optional[GridData] = None):
         """Horizon-stacked solution component by name
         (reference OCPSolver::getSolution, ocp_solver.cpp:245-323).
         Names: q, v, a, u, f, lmd, gmm, beta, mu, xi, and "f_WORLD"
-        (local contact forces rotated to the world frame per grid)."""
+        (local contact forces rotated to the world frame per grid).
+        For "f_WORLD", pass `grid` to zero inactive (swing) contacts and
+        impact/terminal slots as the reference does
+        (ocp_solver.cpp:280-295); without it the raw iterate is rotated.
+        Surface contacts rotate both the linear and angular wrench
+        halves."""
         if name == "f_WORLD":
             ct_ = self.contacts
             m = self.model
@@ -275,9 +281,16 @@ class OCPSolver:
                     Rc, _ = rm.frame_placement(m, ct_.frame_ids[c],
                                                Rw, pw)
                     outs.append(Rc @ fk[off:off + 3])
+                    if ct_.types[c] == 6:
+                        outs.append(Rc @ fk[off + 3:off + 6])
                 return jnp.concatenate(outs)
 
-            return jax.vmap(world)(sol.q, sol.f)
+            fw = jax.vmap(world)(sol.q, sol.f)
+            if grid is not None:
+                fmask = jax.vmap(ct_.force_mask)(grid.contact_mask)
+                slot = (1.0 - grid.is_impact).at[-1].set(0.0)
+                fw = fw * fmask * slot[:, None]
+            return fw
         if not hasattr(sol, name):
             raise ValueError(f"unknown solution component {name!r}")
         return getattr(sol, name)

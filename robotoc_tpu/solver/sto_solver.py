@@ -77,7 +77,15 @@ class OCPSolverSTO:
         """switching_constraints: impose the pure-state touchdown
         constraint on every impact-bearing horizon, as the reference does
         unconditionally (reference time_discretization.cpp:138-142,
-        intermediate_stage.cpp:124, switching_constraint.cpp:7-62)."""
+        intermediate_stage.cpp:124, switching_constraint.cpp:7-62).
+
+        Convergence caveat: with the constraint active, aggressive jumps
+        whose optimal flight time pushes a phase duration against the
+        minimum-dwell bound can cycle (the Gauss-Newton dts step pins at
+        the PDIPM boundary and the compressed horizon re-expands next
+        iteration). If `solve` reports no convergence and the ts history
+        oscillates at the dwell bound, pass switching_constraints=False
+        (the pre-round-4 behavior) or raise the relevant min dwell time."""
         self.model, self.contacts = model, contacts
         self.costs = tuple(costs) if isinstance(costs, (tuple, list)) \
             else (costs,)

@@ -144,6 +144,14 @@ def test_get_set_solution_by_name():
     np.testing.assert_allclose(np.linalg.norm(fw3, axis=-1),
                                np.linalg.norm(fl3, axis=-1), atol=1e-6)
     assert not np.allclose(fw3, fl3)   # frames are not axis-aligned
+    # with the grid: swing contacts and impact/terminal slots are zeroed
+    # (reference ocp_solver.cpp:280-295)
+    grid_sw = grid.replace(contact_mask=grid.contact_mask.at[:, 0].set(0.0))
+    fw_m = np.asarray(solver.get_solution(sol, "f_WORLD", grid=grid_sw))
+    fw_m3 = fw_m.reshape(N + 1, 4, 3)
+    assert np.all(fw_m3[:, 0] == 0.0)          # swing contact zeroed
+    assert np.all(fw_m3[-1] == 0.0)            # terminal slot zeroed
+    np.testing.assert_allclose(fw_m3[:-1, 1:], fw3[:-1, 1:], atol=1e-6)
     sol2 = solver.set_solution(sol, "v", jnp.ones(18))
     assert np.allclose(np.asarray(sol2.v), 1.0)
     sol3 = solver.set_solution(sol, "q", sol.q)

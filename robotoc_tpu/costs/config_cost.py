@@ -29,40 +29,50 @@ class ConfigurationSpaceCost:
     q_weight_impact: jnp.ndarray
     v_weight_impact: jnp.ndarray
     dv_weight_impact: jnp.ndarray
+    q_ref_fn: object = None
+    """Optional time-varying configuration reference: a callable pytree
+    t -> q_ref (nq,), the analog of the reference's
+    ConfigurationSpaceRefBase (configuration_space_ref_base.hpp:16,
+    updateRef(robot, grid_info, q_ref)). When set it overrides the
+    constant `q_ref`. See mpc.refs.StepConfigurationRef for the
+    gait-synchronized periodic version (the reference's
+    MPCPeriodicConfigurationRef, mpc_periodic_configuration_ref.hpp:22)."""
 
     # --- component interface (costs/base.py) ---
     def eval_stage(self, model, q, v, a, u, f, t, dt):
-        return eval_stage(model, self, q, v, a, u, dt)
+        return eval_stage(model, self, q, v, a, u, dt, t)
 
     def eval_terminal(self, model, q, v, t):
-        return eval_terminal(model, self, q, v)
+        return eval_terminal(model, self, q, v, t)
 
     def eval_impact(self, model, q, v, dv, t):
-        return eval_impact(model, self, q, v, dv)
+        return eval_impact(model, self, q, v, dv, t)
 
     def quadratize_stage(self, model, nf, q, v, a, u, f, t, dt):
         from .base import StageQuad
         c, lq, lv, la, lu, Wq, Wv, Wa, Wu = quadratize_stage(
-            model, self, q, v, a, u, dt)
+            model, self, q, v, a, u, dt, t)
         out = StageQuad.zeros(model.nv, model.dimu, nf, model.dtype)
         return out._replace(cost=c, lq=lq, lv=lv, la=la, lu=lu,
                             Qqq=Wq, Qvv=Wv, Qaa=Wa, Quu=Wu)
 
     def quadratize_terminal(self, model, q, v, t):
         from .base import TerminalQuad
-        c, lq, lv, Wq, Wv = quadratize_terminal(model, self, q, v)
+        c, lq, lv, Wq, Wv = quadratize_terminal(model, self, q, v, t)
         return TerminalQuad(cost=c, lq=lq, lv=lv, Qqq=Wq, Qvv=Wv)
 
     def quadratize_impact(self, model, q, v, dv, t):
         from .base import ImpactQuad
         c, lq, lv, ldv, Wq, Wv, Wdv = quadratize_impact(model, self, q, v,
-                                                        dv)
+                                                        dv, t)
         return ImpactQuad(cost=c, lq=lq, lv=lv, ldv=ldv, Qqq=Wq, Qvv=Wv,
                           Qdvdv=Wdv)
 
 
-def make_config_cost(model: rm.RobotModel, q_ref=None, **weights
-                     ) -> ConfigurationSpaceCost:
+def make_config_cost(model: rm.RobotModel, q_ref=None, q_ref_fn=None,
+                     **weights) -> ConfigurationSpaceCost:
+    """q_ref_fn: optional callable pytree t -> q_ref (nq,) — the
+    time-varying reference (overrides the constant q_ref when set)."""
     dt = model.dtype
     nv, dimu = model.nv, model.dimu
     z = lambda n: jnp.zeros(n, dtype=dt)
@@ -86,20 +96,25 @@ def make_config_cost(model: rm.RobotModel, q_ref=None, **weights
         q_weight_impact=w("q_weight_impact", nv),
         v_weight_impact=w("v_weight_impact", nv),
         dv_weight_impact=w("dv_weight_impact", nv),
+        q_ref_fn=q_ref_fn,
     )
 
 
-def _qdiff_and_jac(model, cost, q):
-    """q ⊖ q_ref and the tangent Jacobian J s.t. d(qdiff) = J dq."""
+def _qdiff_and_jac(model, cost, q, t=None):
+    """q ⊖ q_ref(t) and the tangent Jacobian J s.t. d(qdiff) = J dq."""
+    if cost.q_ref_fn is not None:
+        q_ref = cost.q_ref_fn(t)
+    else:
+        q_ref = cost.q_ref
     if not model.floating_base:
-        return q - cost.q_ref, None
-    qdiff = rm.difference(model, cost.q_ref, q)
-    J = rm.d_difference_dq1(model, cost.q_ref, q)
+        return q - q_ref, None
+    qdiff = rm.difference(model, q_ref, q)
+    J = rm.d_difference_dq1(model, q_ref, q)
     return qdiff, J
 
 
-def eval_stage(model, cost, q, v, a, u, dt):
-    qdiff, _ = _qdiff_and_jac(model, cost, q)
+def eval_stage(model, cost, q, v, a, u, dt, t=None):
+    qdiff, _ = _qdiff_and_jac(model, cost, q, t)
     c = 0.5 * (jnp.sum(cost.q_weight * qdiff ** 2)
                + jnp.sum(cost.v_weight * (v - cost.v_ref) ** 2)
                + jnp.sum(cost.a_weight * a ** 2)
@@ -107,11 +122,11 @@ def eval_stage(model, cost, q, v, a, u, dt):
     return dt * c
 
 
-def quadratize_stage(model, cost, q, v, a, u, dt):
+def quadratize_stage(model, cost, q, v, a, u, dt, t=None):
     """Returns (cost, lq, lv, la, lu, Wq(nv or nv,nv), Wv, Wa, Wu) with
     weights dt-scaled; Wq is diagonal for fixed base, dense for floating."""
-    qdiff, J = _qdiff_and_jac(model, cost, q)
-    c = eval_stage(model, cost, q, v, a, u, dt)
+    qdiff, J = _qdiff_and_jac(model, cost, q, t)
+    c = eval_stage(model, cost, q, v, a, u, dt, t)
     if J is None:
         lq = dt * cost.q_weight * qdiff
         Wq = jnp.diag(dt * cost.q_weight)
@@ -125,15 +140,15 @@ def quadratize_stage(model, cost, q, v, a, u, dt):
         jnp.diag(dt * cost.a_weight), jnp.diag(dt * cost.u_weight)
 
 
-def eval_terminal(model, cost, q, v):
-    qdiff, _ = _qdiff_and_jac(model, cost, q)
+def eval_terminal(model, cost, q, v, t=None):
+    qdiff, _ = _qdiff_and_jac(model, cost, q, t)
     return 0.5 * (jnp.sum(cost.q_weight_terminal * qdiff ** 2)
                   + jnp.sum(cost.v_weight_terminal * (v - cost.v_ref) ** 2))
 
 
-def quadratize_terminal(model, cost, q, v):
-    qdiff, J = _qdiff_and_jac(model, cost, q)
-    c = eval_terminal(model, cost, q, v)
+def quadratize_terminal(model, cost, q, v, t=None):
+    qdiff, J = _qdiff_and_jac(model, cost, q, t)
+    c = eval_terminal(model, cost, q, v, t)
     if J is None:
         lq = cost.q_weight_terminal * qdiff
         Wq = jnp.diag(cost.q_weight_terminal)
@@ -144,16 +159,16 @@ def quadratize_terminal(model, cost, q, v):
     return c, lq, lv, Wq, jnp.diag(cost.v_weight_terminal)
 
 
-def eval_impact(model, cost, q, v, dv):
-    qdiff, _ = _qdiff_and_jac(model, cost, q)
+def eval_impact(model, cost, q, v, dv, t=None):
+    qdiff, _ = _qdiff_and_jac(model, cost, q, t)
     return 0.5 * (jnp.sum(cost.q_weight_impact * qdiff ** 2)
                   + jnp.sum(cost.v_weight_impact * (v - cost.v_ref) ** 2)
                   + jnp.sum(cost.dv_weight_impact * dv ** 2))
 
 
-def quadratize_impact(model, cost, q, v, dv):
-    qdiff, J = _qdiff_and_jac(model, cost, q)
-    c = eval_impact(model, cost, q, v, dv)
+def quadratize_impact(model, cost, q, v, dv, t=None):
+    qdiff, J = _qdiff_and_jac(model, cost, q, t)
+    c = eval_impact(model, cost, q, v, dv, t)
     if J is None:
         lq = cost.q_weight_impact * qdiff
         Wq = jnp.diag(cost.q_weight_impact)

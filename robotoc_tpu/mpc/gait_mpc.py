@@ -39,7 +39,8 @@ from ..models import contacts as ct
 from ..planner.contact_sequence import ContactSchedule, discretize
 from ..solver.ocp_solver import OCPSolver, SolverOptions, align_solution
 from .foot_step_planner import GaitFootStepPlanner
-from .refs import StepBaseRotRef, StepCoMRef, StepSwingFootRef
+from .refs import (StepBaseRotRef, StepCoMRef,
+                   StepConfigurationRef, StepSwingFootRef)
 
 FEET_DEFAULT = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
 
@@ -50,6 +51,10 @@ class PeriodicGaitMPC:
 
     #: swing sets per step within one gait cycle; override per gait
     CYCLE: Tuple[Tuple[int, ...], ...] = ((1, 2), (0, 3))
+    #: build the base-rotation tracking cost as a ConfigurationSpaceCost
+    #: with a time-varying StepConfigurationRef (the reference's exact
+    #: formulation) instead of the dedicated BaseRotationCost
+    BASE_ROT_VIA_CONFIG_REF: bool = False
 
     def __init__(self, model: rm.RobotModel, T: float, N: int,
                  feet=None, friction_coefficient: float = 0.5,
@@ -282,17 +287,35 @@ class PeriodicGaitMPC:
         for k, s_abs in enumerate(range(max(1, s_now), s_now + K)):
             pph = min(phase_of(s_abs), npos - 2)
             quat_steps[k + 1] = _yaw_quat(Rs[pph + 1])
-        base_rot_ref = StepBaseRotRef(
-            quat_steps=jnp.asarray(quat_steps, dtype),
-            t_start=jnp.asarray(t_start, dtype),
-            swing_time=jnp.asarray(self.swing_time + self.flying_time,
-                                   dtype),
-            valid=jnp.asarray(valid, dtype))
-        base_rot_cost = BaseRotationCost(
-            weight=self.base_rot_weight,
-            weight_terminal=self.base_rot_weight,
-            weight_impact=self.base_rot_weight,
-            ref=base_rot_ref)
+        if self.BASE_ROT_VIA_CONFIG_REF:
+            # reference-exact formulation: a second ConfigurationSpaceCost
+            # whose time-varying q_ref slerps the base quaternion between
+            # planner steps (mpc_crawl.cpp:57-63 base_rot_cost_ +
+            # mpc_periodic_configuration_ref.cpp:95-110)
+            nv = self.model.nv
+            w_rot = jnp.zeros(nv, dtype).at[3:6].set(self.base_rot_weight)
+            cfg_ref = StepConfigurationRef(
+                q=self.config_cost.q_ref,
+                quat_steps=jnp.asarray(quat_steps, dtype),
+                t_start=jnp.asarray(t_start, dtype),
+                swing_time=jnp.asarray(
+                    self.swing_time + self.flying_time, dtype),
+                valid=jnp.asarray(valid, dtype))
+            base_rot_cost = make_config_cost(
+                self.model, q_ref_fn=cfg_ref, q_weight=w_rot,
+                q_weight_terminal=w_rot, q_weight_impact=w_rot)
+        else:
+            base_rot_ref = StepBaseRotRef(
+                quat_steps=jnp.asarray(quat_steps, dtype),
+                t_start=jnp.asarray(t_start, dtype),
+                swing_time=jnp.asarray(self.swing_time + self.flying_time,
+                                       dtype),
+                valid=jnp.asarray(valid, dtype))
+            base_rot_cost = BaseRotationCost(
+                weight=self.base_rot_weight,
+                weight_terminal=self.base_rot_weight,
+                weight_impact=self.base_rot_weight,
+                ref=base_rot_ref)
         # ONE fused multi-frame task cost (feet + CoM share a single FK
         # chain + jacfwd) instead of nc TaskSpace3DCost + CoMCost — 3x
         # smaller stage-kernel XLA module, same math. Terminal/impact task
@@ -369,6 +392,7 @@ class MPCPace(PeriodicGaitMPC):
     """Pace gait: lateral pairs; right side (RF, RH) swings first
     (reference src/mpc/mpc_pace.cpp:100-106,297)."""
     CYCLE = ((2, 3), (0, 1))
+    BASE_ROT_VIA_CONFIG_REF = True
 
 
 class MPCCrawl(PeriodicGaitMPC):
@@ -376,6 +400,7 @@ class MPCCrawl(PeriodicGaitMPC):
     (reference src/mpc/mpc_crawl.cpp:100-104,
     crawl_foot_step_planner.cpp:162-238)."""
     CYCLE = ((3,), (2,), (1,), (0,))
+    BASE_ROT_VIA_CONFIG_REF = True
 
 
 class MPCFlyingTrot(PeriodicGaitMPC):

@@ -84,6 +84,27 @@ class StepBaseRotRef:
 
 
 @struct.dataclass
+class StepConfigurationRef:
+    """Full-configuration time-varying reference, synchronized with the
+    planner's steps: q_ref(t) equals the nominal configuration `q` with
+    the base-quaternion block q[3:7] slerped between the per-step yaw
+    rotations during each swing window (the reference's
+    MPCPeriodicConfigurationRef, mpc_periodic_configuration_ref.cpp:95-110:
+    q_ref = q_; q_ref.segment<4>(3) = quat[phase].slerp(rate,
+    quat[phase+1])). Plug into ConfigurationSpaceCost.q_ref_fn."""
+    q: jnp.ndarray            # (nq,) nominal configuration
+    quat_steps: jnp.ndarray   # (K+1, 4) base quaternion after k steps
+    t_start: jnp.ndarray      # (K,) swing start times (sorted)
+    swing_time: jnp.ndarray   # scalar: active period
+    valid: jnp.ndarray        # (K,)
+
+    def __call__(self, t):
+        quat, _ = StepBaseRotRef(self.quat_steps, self.t_start,
+                                 self.swing_time, self.valid)(t)
+        return self.q.at[3:7].set(quat)
+
+
+@struct.dataclass
 class StepCoMRef:
     """CoM reference interpolating planner step CoMs: lerp during each swing
     window, hold otherwise."""

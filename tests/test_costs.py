@@ -155,3 +155,43 @@ def test_base_rotation_cost_derivatives(anymal):
     Rh = lie.quat_to_rot(qr)
     ang = np.asarray(lie.so3_log(Rh))
     np.testing.assert_allclose(ang[2], yaw / 2, atol=1e-9)
+
+
+def test_time_varying_config_ref_derivatives(anymal):
+    """ConfigurationSpaceCost with a time-varying q_ref_fn (the reference
+    ConfigurationSpaceRefBase path, configuration_space_ref_base.hpp:16 +
+    mpc_periodic_configuration_ref.cpp): FD-check the quadratization and
+    pin the t-dependence of the reference."""
+    from robotoc_tpu.mpc.refs import StepConfigurationRef
+
+    m = anymal
+    q, v, a, u, f = _rand_state(m, 7)
+    q0 = rm.neutral(m)
+    yaw0, yaw1 = 0.0, 0.6
+    quat_steps = jnp.asarray(
+        [[0.0, 0.0, np.sin(0.5 * y), np.cos(0.5 * y)]
+         for y in (yaw0, yaw1, yaw1)])
+    ref = StepConfigurationRef(
+        q=q0, quat_steps=quat_steps,
+        t_start=jnp.asarray([0.2, 1e9]), swing_time=jnp.asarray(0.4),
+        valid=jnp.asarray([1.0, 0.0]))
+    # t-dependence: before the swing the ref is q0; at mid-swing the base
+    # quaternion has slerped halfway to yaw1
+    r_before = np.asarray(ref(0.0))
+    np.testing.assert_allclose(r_before, np.asarray(q0), atol=1e-12)
+    r_mid = np.asarray(ref(0.4))
+    expect_yaw = 0.5 * (yaw0 + yaw1)
+    np.testing.assert_allclose(
+        r_mid[3:7],
+        [0.0, 0.0, np.sin(0.5 * expect_yaw), np.cos(0.5 * expect_yaw)],
+        atol=1e-9)
+    np.testing.assert_allclose(r_mid[7:], np.asarray(q0)[7:], atol=1e-12)
+
+    cost = make_config_cost(
+        m, q_ref_fn=ref, q_weight=2.0, v_weight=1.0, a_weight=0.5,
+        u_weight=0.1, q_weight_terminal=3.0, v_weight_terminal=1.0,
+        q_weight_impact=1.0, v_weight_impact=1.0, dv_weight_impact=0.5)
+    chk = DerivativeChecker(m)
+    assert chk.check_first_order_stage(cost, 12, q, v, a, u, f, 0.4, 0.02)
+    assert chk.check_first_order_terminal(cost, q, v, 0.4)
+    assert chk.check_first_order_impact(cost, q, v, a, 0.4)

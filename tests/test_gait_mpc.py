@@ -125,3 +125,24 @@ def test_control_policy_shapes(model):
     assert cp.tauJ.shape == (12,) and cp.Kp.shape == (12, 12)
     u = cp.control_input(np.zeros(12), np.zeros(12))
     assert u.shape == (12,)
+
+
+def test_crawl_mpc_periodic_config_ref(model):
+    """Crawl MPC builds its base-rot cost via ConfigurationSpaceCost with
+    a time-varying StepConfigurationRef (the reference's exact
+    formulation, mpc_crawl.cpp:57-63 + mpc_periodic_configuration_ref
+    .cpp:95-110) and a Newton update converges on it."""
+    from robotoc_tpu.costs.config_cost import ConfigurationSpaceCost
+    mpc = MPCCrawl(model, T=0.5, N=10)
+    assert mpc.BASE_ROT_VIA_CONFIG_REF
+    planner = mpc.make_planner()
+    planner.set_gait_pattern(np.array([0.04, 0, 0]), 0.0)
+    mpc.set_gait_pattern(planner, swing_height=0.05, swing_time=0.2,
+                         stance_time=0.0, swing_start_time=0.3)
+    kkt = mpc.init(0.0, Q0, np.zeros(18), num_iters=12)
+    _, costs = mpc.grid, mpc._costs
+    cfg_costs = [c for c in costs
+                 if isinstance(c, ConfigurationSpaceCost)
+                 and c.q_ref_fn is not None]
+    assert len(cfg_costs) == 1
+    assert np.isfinite(kkt) and kkt < 1e-2

@@ -9,7 +9,8 @@ from .robot import (RobotModel, com, crba, d_difference_dq0, d_difference_dq1,
                     frame_position, frame_velocity, from_spec, from_urdf,
                     integrate, interpolate, neutral, nonlinear_effects,
                     normalize, random_configuration, rnea, rnea_derivatives,
-                    rnea_impact, rnea_impact_derivatives, tangent_jacobian)
+                    rnea_impact, rnea_impact_derivatives,
+                    set_robot_properties, tangent_jacobian)
 from .serialize import load_json, save_json
 from .urdf import ModelSpec, parse_urdf
 

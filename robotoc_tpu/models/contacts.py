@@ -47,6 +47,11 @@ class ContactModel:
     kp: jnp.ndarray   # (nc,) Baumgarte position gain
     kv: jnp.ndarray   # (nc,) Baumgarte velocity gain
     rect: jnp.ndarray  # (nc, 2) foot rectangle (X, Y) for surface contacts
+    inv_damping: float = struct.field(pytree_node=False, default=0.0)
+    """Damping added to the contact-space Schur complement's diagonal on
+    ACTIVE rows during the [[M, J^T], [J, -D]] inversion (reference
+    robot_model_info.hpp:95 contact_inv_damping + robot.hxx:662-663:
+    JMinvJt.diagonal() += contact_inv_damping). 0 = exact inversion."""
 
     @property
     def n_contacts(self) -> int:
@@ -92,11 +97,14 @@ class ContactModel:
 
 def make_contacts(model: rm.RobotModel, frame_names, types=None,
                   baumgarte_time_step: float = 0.04,
-                  rect=(0.05, 0.025)) -> ContactModel:
+                  rect=(0.05, 0.025),
+                  contact_inv_damping: float = 0.0) -> ContactModel:
     """Baumgarte gains from a characteristic time step: Kv = 2/T, Kp = 1/T^2
     (reference contact_model_info.hpp:8-23). `rect` = (X, Y) foot half
     extents for surface contacts (reference contact_wrench_cone.hpp:66
-    setRectangular)."""
+    setRectangular). `contact_inv_damping`: regularization of the
+    contact-space Schur-complement inversion for ill-conditioned active
+    contact Jacobians (reference robot_model_info.hpp:95)."""
     n = len(frame_names)
     if types is None:
         types = (POINT,) * n
@@ -109,6 +117,7 @@ def make_contacts(model: rm.RobotModel, frame_names, types=None,
         kp=jnp.full((n,), kp, dtype=model.dtype),
         kv=jnp.full((n,), kv, dtype=model.dtype),
         rect=jnp.broadcast_to(jnp.asarray(rect, model.dtype), (n, 2)),
+        inv_damping=float(contact_inv_damping),
     )
 
 

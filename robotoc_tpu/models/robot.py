@@ -66,6 +66,11 @@ class RobotModel:
     v_limit: jnp.ndarray    # (dimu,)
     u_limit: jnp.ndarray    # (dimu,)
     gravity: jnp.ndarray    # (3,) world gravity acceleration
+    generalized_momentum_bias: object = None
+    """Optional (nv,) bias subtracted from the RNEA torque (the
+    reference's runtime-settable RobotProperties,
+    robot_properties.hpp:36 + robot.hxx:540-542). Set via
+    `set_robot_properties`."""
 
     # ---- dims (reference robot.hpp:707-735) ----
     @property
@@ -418,7 +423,33 @@ def rnea(model: RobotModel, q, v, a, f_joint=None, gravity_on: bool = True):
         if par >= 0:
             Rl, pl = placements[i]
             fs[par] = fs[par] + force_transform(Rl, pl, fs[i])
-    return jnp.concatenate(tau_parts, axis=-1)
+    tau = jnp.concatenate(tau_parts, axis=-1)
+    if gravity_on and model.generalized_momentum_bias is not None:
+        # runtime-settable RobotProperties (reference robot.hxx:540-542;
+        # not applied to the impact RNEA, matching the reference)
+        tau = tau - model.generalized_momentum_bias
+    return tau
+
+
+def set_robot_properties(model: RobotModel,
+                         generalized_momentum_bias=None) -> RobotModel:
+    """Runtime-settable robot properties (reference RobotProperties,
+    robot_properties.hpp:36 + Robot::setRobotProperties,
+    robot.cpp:469-476): returns a model with the generalized-momentum
+    bias installed (None or an all-zero vector clears it)."""
+    if generalized_momentum_bias is not None:
+        b = jnp.asarray(generalized_momentum_bias, model.dtype)
+        if b.shape != (model.nv,):
+            raise ValueError(
+                f"generalized_momentum_bias must have shape ({model.nv},)"
+                f", got {b.shape}")
+        import numpy as _np
+        if not _np.any(_np.asarray(b)):
+            generalized_momentum_bias = None
+        else:
+            generalized_momentum_bias = b
+    return model.replace(
+        generalized_momentum_bias=generalized_momentum_bias)
 
 
 def rnea_impact(model: RobotModel, q, dv, f_joint=None):

@@ -118,6 +118,10 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
          (dCdq, dCdv, J), dgdq) = out[:4]
         kin = (contacts.frame_ids,) + out[4] if fold else None
     ID_res = tau - Sact.T @ u
+    if model.generalized_momentum_bias is not None:
+        # runtime RobotProperties bias (reference robot.hxx:540-542);
+        # constant, so the fused derivative chains are unaffected
+        ID_res = ID_res - model.generalized_momentum_bias
     C_res = C_raw * rowmask
     dCdq = dCdq * rowmask[:, None]
     dCdv = dCdv * rowmask[:, None]
@@ -189,7 +193,12 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
 
     return dict(
         # condense-kernel inputs (ops/pallas_condense._IN_SPECS order)
-        M=M, J=J, inactive=1.0 - rowmask, Tw1=Tw1, Tw2=Tw2,
+        # "inactive" is the -D diagonal of [[M, J^T], [J, -D]]: 1 on
+        # inactive rows, contact_inv_damping on active rows (reference
+        # robot.hxx:662-663 JMinvJt diagonal damping)
+        M=M, J=J,
+        inactive=1.0 - (1.0 - contacts.inv_damping) * rowmask,
+        Tw1=Tw1, Tw2=Tw2,
         r1=ID_res, e2=e2,
         Wq=Wq, Wv=Wv, Wu=Wu, Wa=Wa, Wf=Wf,
         Hq_d=Hq_d, Hv_d=Hv_d, Hu_d=Hu_d, Ha_d=Ha_d,

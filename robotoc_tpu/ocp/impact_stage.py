@@ -120,7 +120,9 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
     dual = jnp.sum(jnp.abs(c_cone))
 
     return dict(
-        M=M, J=J, inactive=1.0 - rowmask, Tw1=Tw1, Tw2=Tw2,
+        M=M, J=J,
+        inactive=1.0 - (1.0 - contacts.inv_damping) * rowmask,
+        Tw1=Tw1, Tw2=Tw2,
         r1=ID_res, e2=e2,
         Wq=Wq, Wv=Wv, Wu=jnp.zeros((nu_dim, nu_dim), dtype),
         Wa=Wdv, Wf=Wf,

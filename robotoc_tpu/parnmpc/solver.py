@@ -57,6 +57,13 @@ class SolverOptions:
     barrier: float = struct.field(pytree_node=False, default=1e-3)
     fraction_to_boundary_rule: float = struct.field(
         pytree_node=False, default=0.995)
+    enable_line_search: bool = struct.field(pytree_node=False,
+                                            default=False)
+    """Fletcher-Leyffer filter line search on the primal step (reference
+    unconstr_line_search.hpp:29, also used by UnconstrParNMPCSolver;
+    default off like the reference)."""
+    ls_reduction: float = struct.field(pytree_node=False, default=0.75)
+    ls_min_step: float = struct.field(pytree_node=False, default=0.05)
 
 
 class UnconstrParNMPCSolver:
@@ -75,7 +82,9 @@ class UnconstrParNMPCSolver:
         self.options = options
         self._update = jax.jit(functools.partial(
             _update, model, self.cost, self.limits, self.dt,
-            options.barrier, options.fraction_to_boundary_rule, self.t0))
+            options.barrier, options.fraction_to_boundary_rule, self.t0,
+            options.enable_line_search, options.ls_reduction,
+            options.ls_min_step))
         self._kkt_error = jax.jit(functools.partial(
             _kkt_error, model, self.cost, self.limits, self.dt,
             options.barrier, self.t0))
@@ -111,8 +120,11 @@ class UnconstrParNMPCSolver:
         kkt = float(self._kkt_error(sol, q_init, v_init))
         it = 0
         failed = False
+        from ..line_search.line_search import empty_filter
+        filt = empty_filter(self.model.dtype)
         while it < max_iter and kkt > tol:
-            sol, kkt_arr, alpha = self._update(sol, q_init, v_init)
+            sol, kkt_arr, alpha, filt = self._update(sol, q_init, v_init,
+                                                     filt, jnp.asarray(it))
             kkt = float(self._kkt_error(sol, q_init, v_init))
             it += 1
             if float(alpha) == 0.0 or not jnp.isfinite(kkt):
@@ -202,8 +214,39 @@ def _kkt_error(model, cost, limits, dt, barrier, t0, sol, q_init, v_init):
     return jnp.sqrt(jnp.sum(out[11]))
 
 
+def _eval_parnmpc(model, cost, limits, dt, barrier, t0, sol, q_init,
+                  v_init):
+    """(cost + log-barrier, l1 primal feasibility) of a ParNMPC iterate
+    (backward-Euler gaps; line-search evaluation, reference
+    unconstr_line_search.cpp:55-58)."""
+    N = sol.q.shape[0]
+    q_prev = jnp.concatenate([q_init[None], sol.q[:-1]], axis=0)
+    v_prev = jnp.concatenate([v_init[None], sol.v[:-1]], axis=0)
+    is_term = jnp.zeros(N, sol.q.dtype).at[-1].set(1.0)
+    ts = t0 + dt * jnp.arange(1, N + 1, dtype=sol.q.dtype)
+
+    def one(t, qp, vp, q, v, a, u, s, term):
+        e_id = rm.rnea(model, q, v, a) - u
+        Fq = qp + dt * v - q
+        Fv = vp + dt * a - v
+        c = cost_base.eval_stage(cost, model, q, v, a, u,
+                                 jnp.zeros((0,), q.dtype), t, dt)
+        c = c + term * cost_base.eval_terminal(cost, model, q, v, t)
+        e = jl.constraint_values(model, limits, q, v, u, a)
+        bar = pdipm.log_barrier(s, barrier, limits.mask)
+        viol = (jnp.sum(jnp.abs(Fq)) + jnp.sum(jnp.abs(Fv))
+                + jnp.sum(jnp.abs(e_id))
+                + jnp.sum(jnp.abs(pdipm.residual(e, s, limits.mask))))
+        return c + bar, viol
+
+    cs, viols = jax.vmap(one)(ts, q_prev, v_prev, sol.q, sol.v, sol.a,
+                              sol.u, sol.slack, is_term)
+    return jnp.sum(cs), jnp.sum(viols)
+
+
 def _update(model, cost, limits, dt, barrier, ftb, t0,
-            sol: ParNMPCSolution, q_init, v_init):
+            enable_ls, ls_reduction, ls_min_step,
+            sol: ParNMPCSolution, q_init, v_init, filt=None, it=0):
     N = sol.q.shape[0]
     nv = model.nv
     dtype = sol.q.dtype
@@ -326,6 +369,31 @@ def _update(model, cost, limits, dt, barrier, ftb, t0,
                                       barrier, de, limits.mask)
     a_p = pdipm.fraction_to_boundary(sol.slack, ds, ftb, limits.mask)
     a_d = pdipm.fraction_to_boundary(sol.dual, dz_, ftb, limits.mask)
+    if enable_ls and filt is not None:
+        from ..line_search import unconstr_line_search as uls
+        from ..line_search.line_search import (filter_augment,
+                                               filter_search)
+        c_cur, v_cur = _eval_parnmpc(model, cost, limits, dt, barrier,
+                                     t0, sol, q_init, v_init)
+        empty = ~jnp.any(jnp.isfinite(filt[:, 1]))
+        filt = jnp.where(empty, filter_augment(filt, it, c_cur, v_cur),
+                         filt)
+
+        def trial(alpha):
+            return sol.replace(q=sol.q + alpha * dq,
+                               v=sol.v + alpha * dv,
+                               a=sol.a + alpha * da,
+                               u=sol.u + alpha * du,
+                               slack=sol.slack + alpha * ds)
+
+        def eval_fn(s):
+            return _eval_parnmpc(model, cost, limits, dt, barrier, t0,
+                                 s, q_init, v_init)
+
+        a_p, c_t, v_t = filter_search(trial, eval_fn, a_p,
+                                      filt, reduction=ls_reduction,
+                                      alpha_min=ls_min_step)
+        filt = filter_augment(filt, it + 1, c_t, v_t)
     new = ParNMPCSolution(
         q=sol.q + a_p * dq, v=sol.v + a_p * dv, a=sol.a + a_p * da,
         u=sol.u + a_p * du, lmd=sol.lmd + a_p * dlmd,
@@ -340,4 +408,4 @@ def _update(model, cost, limits, dt, barrier, ftb, t0,
         [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new)]))
     new = jax.tree.map(lambda a, b: jnp.where(dir_ok, a, b), new, sol)
     a_p = jnp.where(dir_ok, a_p, 0.0)
-    return new, jnp.sqrt(kkt_sq.sum()), a_p
+    return new, jnp.sqrt(kkt_sq.sum()), a_p, filt

@@ -59,6 +59,13 @@ class SolverOptions:
     barrier: float = struct.field(pytree_node=False, default=1e-3)
     fraction_to_boundary_rule: float = struct.field(
         pytree_node=False, default=0.995)
+    enable_line_search: bool = struct.field(pytree_node=False,
+                                            default=False)
+    """Fletcher-Leyffer filter line search on the primal step (reference
+    unconstr_line_search.hpp:29; default off like the reference's
+    SolverOptions::enable_line_search)."""
+    ls_reduction: float = struct.field(pytree_node=False, default=0.75)
+    ls_min_step: float = struct.field(pytree_node=False, default=0.05)
 
 
 class UnconstrOCPSolver:
@@ -86,7 +93,9 @@ class UnconstrOCPSolver:
         self._solve = jax.jit(functools.partial(
             _solve, model, self.cost, self.limits, self.dt, self.N,
             options.max_iter, options.kkt_tol, options.barrier,
-            options.fraction_to_boundary_rule, self.t0))
+            options.fraction_to_boundary_rule, self.t0,
+            options.enable_line_search, options.ls_reduction,
+            options.ls_min_step))
         self._kkt_error = jax.jit(functools.partial(
             _kkt_error, model, self.cost, self.limits, self.dt,
             options.barrier, self.t0))
@@ -234,9 +243,12 @@ def _update(model, cost, limits, dt, barrier, ftb, t0, sol, q_init, v_init):
     return _direction_step(model, limits, barrier, ftb, built, sol)
 
 
-def _direction_step(model, limits, barrier, ftb, built, sol):
+def _direction_step(model, limits, barrier, ftb, built, sol, ls_ctx=None):
     """Newton direction + step from an existing build (single-build loop
-    support, mirroring the contact solver)."""
+    support, mirroring the contact solver). ls_ctx (optional):
+    (cost, dt, t0, q_init, v_init, filt, it, reduction, min_step) — filter
+    line search on the primal step (reference unconstr_line_search.cpp:
+    37-70); returns the updated filter as a 5th output when given."""
     data, aux, perf, dx0 = built
     dx, da, dlmdgmm, _ = lqr.solve(data, dx0)
     nv = model.nv
@@ -256,6 +268,22 @@ def _direction_step(model, limits, barrier, ftb, built, sol):
     dlmd, dgmm = dlmdgmm[:, :nv], dlmdgmm[:, nv:]
     pad = lambda x, last: jnp.concatenate([x, last[None]], axis=0)
     znv = jnp.zeros((model.nv,), dtype=sol.q.dtype)
+    filt = None
+    if ls_ctx is not None:
+        from ..line_search import unconstr_line_search as uls
+        cost_c, dt_c, t0_c, qi, vi, filt, it, red, mstep = ls_ctx
+
+        def trial(alpha):
+            return sol.replace(
+                q=sol.q + alpha * jnp.concatenate([dq, dqN[None]], axis=0),
+                v=sol.v + alpha * jnp.concatenate([dv, dvN[None]], axis=0),
+                a=sol.a + alpha * pad(da, znv),
+                u=sol.u + alpha * pad(du, znv),
+                slack=sol.slack + alpha * ds)
+
+        a_p, filt = uls.primal_step_size(
+            model, cost_c, limits, dt_c, barrier, t0_c, sol, qi, vi,
+            trial, a_p, filt, it, reduction=red, min_step=mstep)
     new = UnconstrSolution(
         q=sol.q + a_p * jnp.concatenate([dq, dqN[None]], axis=0),
         v=sol.v + a_p * jnp.concatenate([dv, dvN[None]], axis=0),
@@ -267,6 +295,8 @@ def _direction_step(model, limits, barrier, ftb, built, sol):
         slack=sol.slack + a_p * ds,
         dual=sol.dual + a_d * dz,
     )
+    if ls_ctx is not None:
+        return new, jnp.sqrt(perf.kkt_error), a_p, perf, filt
     return new, jnp.sqrt(perf.kkt_error), a_p, perf
 
 
@@ -277,37 +307,47 @@ def _kkt_error(model, cost, limits, dt, barrier, t0, sol, q_init, v_init):
 
 
 def _solve(model, cost, limits, dt, N, max_iter, kkt_tol, barrier, ftb,
-           t0, sol, q_init, v_init):
+           t0, enable_ls, ls_reduction, ls_min_step, sol, q_init, v_init):
     """Full Newton loop as one XLA computation (lax.while_loop). One
     _build_kkt per iteration: the convergence-check build is reused for the
     next Newton direction (same single-build structure as the contact
-    solver). Non-finite KKT aborts with the last good iterate."""
+    solver). Non-finite KKT aborts with the last good iterate. With
+    enable_ls, a Fletcher-Leyffer filter (carried through the loop state)
+    backtracks the primal step (reference unconstr_line_search.cpp)."""
+    from ..line_search.line_search import empty_filter
 
     def do_build(s):
         return _build_kkt(model, cost, limits, dt, barrier, t0, s,
                           q_init, v_init)
 
     def cond2(state):
-        sol, built, it, kkt, _, ok = state
+        sol, built, it, kkt, _, ok, _ = state
         return (it < max_iter) & (kkt > kkt_tol) & ok
 
     def body2(state):
-        sol, built, it, kkt, _, ok = state
-        new, _, alpha, _ = _direction_step(model, limits, barrier, ftb,
-                                           built, sol)
+        sol, built, it, kkt, _, ok, filt = state
+        if enable_ls:
+            ls_ctx = (cost, dt, t0, q_init, v_init, filt, it,
+                      ls_reduction, ls_min_step)
+            new, _, alpha, _, filt = _direction_step(
+                model, limits, barrier, ftb, built, sol, ls_ctx)
+        else:
+            new, _, alpha, _ = _direction_step(model, limits, barrier,
+                                               ftb, built, sol)
         built_new = do_build(new)
         kkt_new = jnp.sqrt(built_new[2].kkt_error)
         ok_new = jnp.isfinite(kkt_new)
         new = jax.tree.map(lambda a, b: jnp.where(ok_new, a, b), new, sol)
         return (new, built_new, it + 1, jnp.where(ok_new, kkt_new, kkt),
-                alpha, ok_new)
+                alpha, ok_new, filt)
 
     built0 = do_build(sol)
     kkt0 = jnp.sqrt(built0[2].kkt_error)
     one = jnp.asarray(1.0, sol.q.dtype)
-    sol, _, iters, kkt, alpha, ok = jax.lax.while_loop(
+    filt0 = empty_filter(sol.q.dtype)
+    sol, _, iters, kkt, alpha, ok, _ = jax.lax.while_loop(
         cond2, body2, (sol, built0, jnp.asarray(0), kkt0, one,
-                       jnp.isfinite(kkt0)))
+                       jnp.isfinite(kkt0), filt0))
     stats = dict(iterations=iters, kkt_error=kkt, last_step_size=alpha,
                  convergence=(kkt <= kkt_tol) & ok)
     return sol, stats

@@ -161,3 +161,51 @@ def test_get_set_solution_by_name():
         solver.get_solution(sol, "nope")
     with _pt.raises(ValueError):
         solver.set_solution(sol, "u", jnp.zeros(5))
+
+
+def test_contact_inv_damping():
+    """contact_inv_damping regularizes the contact-space Schur inversion
+    (reference robot_model_info.hpp:95 + robot.hxx:662-663). Block-level:
+    the damped Gauss-Jordan inverse equals the Cholesky oracle with
+    the damping added to the Schur diagonal. Solver-level: a tiny damping
+    still converges next to the exact solution."""
+    from robotoc_tpu.dynamics.contact_dynamics import (mjtj_inverse,
+                                                       mjtj_inverse_chol)
+
+    m = load_robot("anymal")
+    key = jax.random.PRNGKey(3)
+    A = jax.random.normal(key, (18, 18))
+    M = A @ A.T + 18 * jnp.eye(18)
+    J = jax.random.normal(jax.random.PRNGKey(4), (12, 18))
+    delta = 1e-4
+    dvec = jnp.full(12, delta)         # all rows active, damped
+    for a, b in zip(mjtj_inverse(M, J, dvec),
+                    mjtj_inverse_chol(M, J, dvec)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-8)
+
+    # solver level: damped contacts converge on the standing problem
+    contacts_d = make_contacts(m, FEET, baumgarte_time_step=0.04,
+                               contact_inv_damping=1e-10)
+    assert contacts_d.inv_damping == 1e-10
+    q_weight = jnp.array([0, 0, 0, 250000, 250000, 250000] + [0.0001] * 12)
+    v_weight = jnp.array([100.0] * 6 + [1.0] * 12)
+    cost = make_config_cost(m, q_ref=Q_STANDING, q_weight=q_weight,
+                            v_weight=v_weight, a_weight=1e-6,
+                            u_weight=1e-1, q_weight_terminal=q_weight,
+                            v_weight_terminal=v_weight)
+    lim = make_joint_limits(m, u_limit=jnp.full(12, 80.0),
+                            v_limit=jnp.full(12, 15.0))
+    Rw, pw = forward_kinematics(m, Q_STANDING)
+    placements = np.stack(
+        [np.array(frame_placement(m, m.frame_id(f), Rw, pw)[1])
+         for f in FEET])
+    sched = ContactSchedule(nc=4).init([True] * 4, placements)
+    N = 4
+    grid = discretize(sched, 0.0, 0.025 * N, N)
+    solver = OS.OCPSolver(m, contacts_d, (cost,), lim, T=0.025 * N, N=N)
+    v0 = jnp.zeros(18)
+    sol = solver.init_solution(grid, Q_STANDING, v0)
+    for _ in range(10):
+        sol, kkt, _, _ = solver.update(grid, Q_STANDING, v0, sol)
+    assert float(kkt) < 1e-6

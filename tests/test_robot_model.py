@@ -160,3 +160,35 @@ def test_batched_consistency(model):
         ref = rnea(model, qs[i], vs[i], as_[i])
         np.testing.assert_allclose(tau_b[i], ref, atol=1e-12)
         np.testing.assert_allclose(tau_v[i], ref, atol=1e-12)
+
+
+def test_robot_properties_momentum_bias():
+    """RobotProperties: runtime-settable generalized-momentum bias
+    subtracted from the RNEA torque (reference robot_properties.hpp:36 +
+    robot.hxx:540-542 + Robot::setRobotProperties robot.cpp:469-476).
+    Not applied to the impact (gravity-free) RNEA, like the reference."""
+    from robotoc_tpu.models import (load_robot, rnea, rnea_impact,
+                                    set_robot_properties)
+    from robotoc_tpu.models import robot as rm
+
+    m = load_robot("anymal")
+    key = jax.random.PRNGKey(11)
+    q = rm.random_configuration(m, key)
+    v = 0.2 * jax.random.normal(jax.random.PRNGKey(12), (m.nv,))
+    a = 0.2 * jax.random.normal(jax.random.PRNGKey(13), (m.nv,))
+    bias = 0.5 * jax.random.normal(jax.random.PRNGKey(14), (m.nv,))
+    tau0 = rnea(m, q, v, a)
+    m_b = set_robot_properties(m, generalized_momentum_bias=bias)
+    tau_b = rnea(m_b, q, v, a)
+    np.testing.assert_allclose(np.asarray(tau_b),
+                               np.asarray(tau0 - bias), atol=1e-12)
+    # impact RNEA unaffected
+    np.testing.assert_allclose(np.asarray(rnea_impact(m_b, q, a)),
+                               np.asarray(rnea_impact(m, q, a)),
+                               atol=1e-12)
+    # zero bias clears the property
+    m_z = set_robot_properties(m_b, generalized_momentum_bias=np.zeros(
+        m.nv))
+    assert m_z.generalized_momentum_bias is None
+    with pytest.raises(ValueError):
+        set_robot_properties(m, generalized_momentum_bias=np.ones(3))

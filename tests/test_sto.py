@@ -117,6 +117,41 @@ def test_sto_cost_quadratic():
     assert np.allclose(np.asarray(Qtt), np.diag([2.0, 4.0]))
 
 
+def test_sto_cost_user_component():
+    """User-defined STO cost component (the reference's
+    STOCostFunctionComponentBase, sto_cost_function_component_base.hpp:
+    19-80): one differentiable fn(ts) -> scalar; lt/Qtt by autodiff.
+    Composes with QuadraticSTOCost in the same container, and works
+    under jit."""
+    import jax
+    from robotoc_tpu.sto.cost import FunctionSTOCost, eval_cost
+
+    # penalize the total duration of phase 1 ending at ts[1]: exp barrier
+    def fn(ts):
+        return jnp.exp(2.0 * (ts[1] - ts[0])) + 0.1 * ts[0] ** 2
+
+    comp = FunctionSTOCost(fn)
+    quad_c = QuadraticSTOCost(ts_ref=jnp.asarray([0.25, 0.6]),
+                              weight=jnp.asarray([2.0, 4.0]))
+    ts = jnp.asarray([0.3, 0.5])
+    c, lt, Qtt = quadratize((comp, quad_c), ts)
+    # FD oracle for the user component
+    eps = 1e-6
+    for k in range(2):
+        tp = ts.at[k].add(eps)
+        tm = ts.at[k].add(-eps)
+        fd = (fn(tp) - fn(tm)) / (2 * eps)
+        analytic = float(lt[k]) - float(quad_c.quadratize(ts)[1][k])
+        assert np.isclose(analytic, float(fd), rtol=1e-4)
+    # Hessian symmetric + contains the quadratic part
+    assert np.allclose(np.asarray(Qtt), np.asarray(Qtt).T)
+    c_only = eval_cost((comp, quad_c), ts)
+    assert np.isclose(float(c_only), float(c))
+    # jit-traceable
+    c_j = jax.jit(lambda t: quadratize((comp, quad_c), t)[0])(ts)
+    assert np.isclose(float(c_j), float(c))
+
+
 def test_event_sto_flags():
     plc = np.zeros((4, 3))
     sched = ContactSchedule(nc=4).init([True] * 4, plc)

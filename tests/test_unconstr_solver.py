@@ -72,3 +72,58 @@ def test_warm_start_converges_fast():
     sol, _ = solver.solve(q0, v0)
     sol2, stats2 = solver.solve(q0, v0, sol=sol)
     assert int(stats2["iterations"]) <= 1
+
+
+def test_unconstr_line_search_converges():
+    """Filter line search (reference unconstr_line_search.cpp:37-70):
+    enabling it still converges to the same tolerance and backtracks on a
+    poor initial guess instead of diverging."""
+    import math
+    from robotoc_tpu.models import load_robot
+    from robotoc_tpu.costs.config_cost import make_config_cost
+    from robotoc_tpu.constraints.joint_limits import make_joint_limits
+    from robotoc_tpu.solver.unconstr_ocp_solver import (SolverOptions,
+                                                        UnconstrOCPSolver)
+
+    m = load_robot("iiwa14")
+    q_ref = jnp.asarray([0, math.pi / 2, 0, math.pi / 2, 0,
+                         math.pi / 2, 0], m.dtype)
+    cost = make_config_cost(m, q_ref=q_ref, q_weight=10, v_weight=0.01,
+                            a_weight=0.01, u_weight=0.0,
+                            q_weight_terminal=10, v_weight_terminal=0.01)
+    lim = make_joint_limits(m, u_limit=jnp.full(7, 50.0),
+                            v_limit=jnp.full(7, math.pi / 2))
+    q0 = jnp.asarray([math.pi / 2, 0, math.pi / 2, 0, math.pi / 2, 0,
+                      math.pi / 2], m.dtype)
+    s_ls = UnconstrOCPSolver(m, cost, lim, T=3.0, N=20,
+                             options=SolverOptions(enable_line_search=True))
+    sol, st = s_ls.solve(q0, jnp.zeros(7))
+    assert bool(st["convergence"])
+    assert float(st["kkt_error"]) < 1e-7
+
+
+def test_parnmpc_line_search_converges():
+    import math
+    from robotoc_tpu.models import load_robot
+    from robotoc_tpu.costs.config_cost import make_config_cost
+    from robotoc_tpu.constraints.joint_limits import make_joint_limits
+    from robotoc_tpu.parnmpc.solver import (SolverOptions,
+                                            UnconstrParNMPCSolver)
+
+    m = load_robot("iiwa14")
+    q_ref = jnp.asarray([0, math.pi / 2, 0, math.pi / 2, 0,
+                         math.pi / 2, 0], m.dtype)
+    cost = make_config_cost(m, q_ref=q_ref, q_weight=10, v_weight=0.01,
+                            a_weight=0.01, u_weight=0.0,
+                            q_weight_terminal=10, v_weight_terminal=0.01)
+    lim = make_joint_limits(m, u_limit=jnp.full(7, 50.0),
+                            v_limit=jnp.full(7, math.pi / 2))
+    q0 = jnp.asarray([math.pi / 2, 0, math.pi / 2, 0, math.pi / 2, 0,
+                      math.pi / 2], m.dtype)
+    s_ls = UnconstrParNMPCSolver(
+        m, cost, lim, T=1.0, N=20,
+        options=SolverOptions(enable_line_search=True, max_iter=60,
+                              kkt_tol=1e-6))
+    sol, st = s_ls.solve(q0, jnp.zeros(7))
+    assert float(st["kkt_error"]) < 1e-6
+    assert not st["numerical_failure"]

@@ -25,8 +25,10 @@ lanes and hand-propagates STRUCTURED forward-mode tangents:
   * levels evaluate batched (the 4 identical legs of a quadruped are one
     (k, ...) stack per level, robot.chain_levels), all indexing static.
 
-Surface contacts (se3_log residuals) and non-point stacks fall back to
-the XLA path (ocp/contact_stage.stage_pre decides).
+Surface contacts (6D wrench, se3_log Baumgarte residual, 17-row local
+wrench cone — reference surface_contact.hxx + contact_wrench_cone.cpp)
+ride the same kernel via the generic per-contact path (round-4 verdict
+item #2); the all-point stack keeps the vectorized fast path.
 """
 from __future__ import annotations
 
@@ -226,6 +228,111 @@ def dmatmul3(A: Dual, B: Dual, axis: int) -> Dual:
     return dsum(dmul(dexpand(A, axis + 2), dexpand(B, axis)), axis + 1)
 
 
+def dchain_transpose(R: Dual) -> Dual:
+    """Transpose of a (3, 3, ...) rotation Dual (leading matrix axes)."""
+    t = lambda a: None if a is None else jnp.swapaxes(a, 0, 1)
+    return Dual(jnp.swapaxes(R.val, 0, 1), t(R.dq), t(R.dv), t(R.da))
+
+
+def dchain_scalar(x: Dual, fval, fgrad) -> Dual:
+    """Nonlinear scalar function applied to a Dual: out = f(x) with
+    tangents f'(x) * dx (closed-form derivative supplied by the caller —
+    no autodiff machinery inside the kernel)."""
+    g = fgrad(x.val)
+    ge = g[..., None, :]
+    m = lambda a: None if a is None else ge * a
+    return Dual(fval(x.val), m(x.dq), m(x.dv), m(x.da))
+
+
+def dindex2(R: Dual, i: int, j: int) -> Dual:
+    """R[i, j] of a (3, 3, ...) Dual -> scalar-plane Dual."""
+    return dindex(dindex(R, 0, i), 0, j)
+
+
+def dso3_log(R: Dual) -> Dual:
+    """so3_log of a (3, 3, T) rotation Dual -> (3, T) rotation-vector
+    Dual: w = theta / (2 sin theta) * vee(R - R^T), theta = acos((tr R -
+    1)/2), with a Taylor guard at small angles (reference
+    surface_contact.hxx uses pinocchio::log3; same principal branch for
+    theta < pi, which is the contact-placement regime)."""
+    dt = R.val.dtype
+    tr = dadd(dadd(dindex2(R, 0, 0), dindex2(R, 1, 1)), dindex2(R, 2, 2))
+
+    def _theta_s(trv):
+        c = jnp.clip(0.5 * (trv - 1.0), -1.0 + 1e-7, 1.0 - 1e-12)
+        theta = jnp.arccos(c)
+        s = jnp.sqrt(jnp.maximum(1.0 - c * c,
+                                 jnp.asarray(1e-24, dt)))
+        return theta, s
+
+    def scale_val(trv):
+        theta, s = _theta_s(trv)
+        t2 = theta * theta
+        small = t2 < 1e-6
+        exact = theta / jnp.where(small, jnp.ones_like(s), 2.0 * s)
+        taylor = 0.5 + t2 / 12.0 + 7.0 * t2 * t2 / 720.0
+        return jnp.where(small, taylor, exact)
+
+    def scale_grad(trv):
+        # scale(theta) = theta/(2 sin theta); dscale/dtheta =
+        # (sin - theta cos)/(2 sin^2); dtheta/dc = -1/sin; dc/dtr = 1/2
+        # => dscale/dtr = (theta cos theta - sin theta)/(4 sin^3 theta)
+        theta, s = _theta_s(trv)
+        t2 = theta * theta
+        small = t2 < 1e-6
+        c = jnp.cos(theta)
+        num = theta * c - s
+        den = jnp.where(small, jnp.ones_like(s), 4.0 * s ** 3)
+        exact = num / den
+        taylor = -(1.0 / 12.0 + 7.0 * t2 / 360.0)
+        return jnp.where(small, taylor, exact)
+
+    scale = dchain_scalar(tr, scale_val, scale_grad)
+    w_pre = dstack([dsub(dindex2(R, 2, 1), dindex2(R, 1, 2)),
+                    dsub(dindex2(R, 0, 2), dindex2(R, 2, 0)),
+                    dsub(dindex2(R, 1, 0), dindex2(R, 0, 1))], 0)
+    return dmul(scale, w_pre)
+
+
+def dse3_log_linear(w: Dual, p: Dual) -> Dual:
+    """V^{-1}(w) @ p with w = so3_log(R) (the linear half of se3_log,
+    ops/lie.py _so3_left_jacobian_inv): Vinv = I - hat(w)/2 + k2 hat(w)^2,
+    k2 = 1/t2 - (1 + cos t)/(2 t sin t)."""
+    dt = w.val.dtype
+    t2 = dsum(dmul(w, w), 0)                   # scalar-plane Dual
+
+    def k2_val(t2v):
+        t2c = jnp.maximum(t2v, jnp.asarray(0.0, dt))
+        t = jnp.sqrt(jnp.maximum(t2c, jnp.asarray(1e-24, dt)))
+        small = t2c < 1e-6
+        s, c = jnp.sin(t), jnp.cos(t)
+        den = jnp.where(small, jnp.ones_like(t), 2.0 * t * s)
+        exact = (1.0 / jnp.where(small, jnp.ones_like(t), t2c)
+                 - (1.0 + c) / den)
+        taylor = 1.0 / 12.0 + t2c / 720.0 + t2c * t2c / 30240.0
+        return jnp.where(small, taylor, exact)
+
+    def k2_grad(t2v):
+        t2c = jnp.maximum(t2v, jnp.asarray(0.0, dt))
+        t = jnp.sqrt(jnp.maximum(t2c, jnp.asarray(1e-24, dt)))
+        small = t2c < 1e-6
+        s, c = jnp.sin(t), jnp.cos(t)
+        # d/dt [1/t^2 - (1+c)/(2 t s)]
+        #   = -2/t^3 - [(-s)(2 t s) - (1+c)(2 s + 2 t c)]/(2 t s)^2
+        N, D = 1.0 + c, 2.0 * t * s
+        dN, dD = -s, 2.0 * s + 2.0 * t * c
+        guard = lambda x: jnp.where(small, jnp.ones_like(x), x)
+        ddt = -2.0 / guard(t ** 3) - (dN * D - N * dD) / guard(D * D)
+        exact = ddt / guard(2.0 * t)
+        taylor = 1.0 / 720.0 + t2c / 15120.0
+        return jnp.where(small, taylor, exact)
+
+    k2 = dchain_scalar(t2, k2_val, k2_grad)
+    wxp = dcross(w, p, 0)
+    wxwxp = dcross(w, wxp, 0)
+    return dadd(dsub(p, cmul(0.5, wxp)), dmul(k2, wxwxp))
+
+
 def one_hot_rows(nv, idxs, dt, T):
     """(len(idxs), nv, T): row j is the one-hot of idxs[j], iota-built (a
     Pallas kernel cannot capture array constants). Built at full lane
@@ -252,6 +359,9 @@ class ChainMeta(NamedTuple):
     q_offs: tuple
     cpar: tuple            # contact -> parent joint
     total_mass: float
+    ctypes: tuple          # per-contact force rows (3 point / 6 surface)
+    f_offs: tuple          # per-contact offset into the force stack
+    cone_ds: tuple         # per-contact cone rows (5 point / 17 surface)
 
 
 def chain_meta(model, contacts) -> ChainMeta:
@@ -262,14 +372,16 @@ def chain_meta(model, contacts) -> ChainMeta:
         nc=contacts.n_contacts, ncone=contacts.dimc_cone,
         levels=levels, parents=tuple(model.parents),
         v_offs=tuple(model.v_offs), q_offs=tuple(model.q_offs),
-        cpar=cpar, total_mass=float(np.sum(np.asarray(model.mass))))
+        cpar=cpar, total_mass=float(np.sum(np.asarray(model.mass))),
+        ctypes=tuple(contacts.types), f_offs=tuple(contacts.f_offsets),
+        cone_ds=tuple(contacts.cone_dims))
 
 
 def chain_supported(model, contacts) -> bool:
-    """Point contacts only; free/revolute/prismatic joints."""
-    from ..models import contacts as ct
-    return (all(t == ct.POINT for t in contacts.types)
-            and contacts.n_contacts > 0)
+    """Point and surface (6D wrench, SE(3)-log Baumgarte) contact stacks;
+    free/revolute/prismatic joints. Surface support is the round-4 verdict
+    item #2 — the humanoid (iCub) hot path rides the same kernel."""
+    return contacts.n_contacts > 0
 
 
 def _rows(ref, idxs):
@@ -304,9 +416,9 @@ def _vmatmul(A, B, axis):
 
 
 def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
-                  pref_ref,
+                  pref_ref, Rref_ref,
                   XR_ref, Xp_ref, ax_ref, mass_ref, com_ref, I_ref,
-                  g3_ref, fR_ref, fp_ref, kp_ref, kv_ref,
+                  g3_ref, fR_ref, fp_ref, kp_ref, kv_ref, rect_ref,
                   tau_ref, dtauq_ref, dtauv_ref, M_ref,
                   C_ref, dCq_ref, dCv_ref, J_ref,
                   gc_ref, dgdq_ref, dgdf_ref, task_ref, dtask_ref):
@@ -470,7 +582,8 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     f_joint_val = [None] * nj
     for c in range(nc):
         pj = meta.cpar[c]
-        fc = sl(f, 3 * c, 3 * c + 3)                           # (3, T)
+        off = meta.f_offs[c]
+        fc = sl(f, off, off + 3)                               # (3, T)
         fRc = _row(fR_all, c)                                  # (3, 3, T)
         fpc = _row(fp_all, c)                                  # (3, T)
         lf = jnp.sum(fRc * fc[None], axis=1)                   # (3, T)
@@ -478,6 +591,10 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
         l0, l1, l2 = (_row(lf, 0), _row(lf, 1), _row(lf, 2))
         wf = jnp.stack([p1 * l2 - p2 * l1, p2 * l0 - p0 * l2,
                         p0 * l1 - p1 * l0], axis=0)
+        if meta.ctypes[c] == 6:
+            # surface wrench: angular part rotates too (force_transform)
+            fa = sl(f, off + 3, off + 6)
+            wf = wf + jnp.sum(fRc * fa[None], axis=1)
         fj = jnp.concatenate([lf, wf], axis=0)                 # (6, T)
         f_joint_val[pj] = fj if f_joint_val[pj] is None \
             else f_joint_val[pj] + fj
@@ -536,28 +653,118 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     af = dmotion_xinv(fRc, fpc, ASc, 1)
     Rwc = dmatmul3(RSc, fRc, 1)                                # (nc,3,3,..)
     pwc = dadd(drotate(RSc, fpc, 1), PSc)
-    vf_l, vf_w = dslice(vf, 1, 0, 3), dslice(vf, 1, 3, 6)
-    a_cl = dadd(dslice(af, 1, 0, 3), dcross(vf_w, vf_l, 1))
-    C = dadd(dadd(a_cl, cmul(kv, vf_l)),
-             cmul(kp, dsub(pwc, Dual(p_ref_in))))              # (nc, 3, ..)
-    # cone rows: C_m(fric) @ (R_w f_local); C_m value-only
-    c_ = fric / jnp.sqrt(jnp.asarray(2.0, dt))                 # (nc, T)
-    z_ = jnp.zeros_like(c_)
-    o_ = jnp.ones_like(c_)
-    Cm = jnp.stack([
-        jnp.stack([z_, z_, -o_], axis=1),
-        jnp.stack([o_, z_, -c_], axis=1),
-        jnp.stack([-o_, z_, -c_], axis=1),
-        jnp.stack([z_, o_, -c_], axis=1),
-        jnp.stack([z_, -o_, -c_], axis=1),
-    ], axis=1)                                                 # (nc,5,3,T)
-    fl = jnp.stack([sl(f, 3 * c, 3 * c + 3) for c in range(nc)],
-                   axis=0)                                     # (nc,3,T)
-    fW = drotate(Rwc, Dual(fl), 1)                             # (nc,3,..)
-    g_cone = dsum(dmul(Dual(Cm), dexpand(fW, 1)), 2)           # (nc,5,..)
-    # dgdf[r, j] = sum_k Cm[r, k] Rw[k, j]
-    dgdf_blocks = jnp.sum(Cm[:, :, :, None] * Rwc.val[:, None],
-                          axis=2)                              # (nc,5,3,T)
+    all_point = all(t == 3 for t in meta.ctypes)
+    if all_point:
+        vf_l, vf_w = dslice(vf, 1, 0, 3), dslice(vf, 1, 3, 6)
+        a_cl = dadd(dslice(af, 1, 0, 3), dcross(vf_w, vf_l, 1))
+        C = dadd(dadd(a_cl, cmul(kv, vf_l)),
+                 cmul(kp, dsub(pwc, Dual(p_ref_in))))          # (nc, 3, ..)
+        # cone rows: C_m(fric) @ (R_w f_local); C_m value-only
+        c_ = fric / jnp.sqrt(jnp.asarray(2.0, dt))             # (nc, T)
+        z_ = jnp.zeros_like(c_)
+        o_ = jnp.ones_like(c_)
+        Cm = jnp.stack([
+            jnp.stack([z_, z_, -o_], axis=1),
+            jnp.stack([o_, z_, -c_], axis=1),
+            jnp.stack([-o_, z_, -c_], axis=1),
+            jnp.stack([z_, o_, -c_], axis=1),
+            jnp.stack([z_, -o_, -c_], axis=1),
+        ], axis=1)                                             # (nc,5,3,T)
+        fl = jnp.stack([sl(f, 3 * c, 3 * c + 3) for c in range(nc)],
+                       axis=0)                                 # (nc,3,T)
+        fW = drotate(Rwc, Dual(fl), 1)                         # (nc,3,..)
+        g_cone = dsum(dmul(Dual(Cm), dexpand(fW, 1)), 2)       # (nc,5,..)
+        # dgdf[r, j] = sum_k Cm[r, k] Rw[k, j]
+        dgdf_blocks = [
+            _row(jnp.sum(Cm[:, :, :, None] * Rwc.val[:, None], axis=2),
+                 c) for c in range(nc)]                        # (5,3,T) ea
+    else:
+        # generic mixed point/surface path (round-4 verdict item #2):
+        # surface Baumgarte = spatial frame acceleration + Kv * spatial
+        # velocity + Kp * log6(M_ref^{-1} M(q)) (reference
+        # surface_contact.hxx; oracle models/contacts.baumgarte_residual),
+        # surface cone = 17-row LOCAL wrench cone (no q-dependence,
+        # reference contact_wrench_cone.cpp)
+        Rref_in = Rref_ref[...]                                # (nc,3,3,T)
+        rect_in = rect_ref[...]                                # (nc,2,T)
+        C_parts, g_parts, dgdf_blocks = [], [], []
+        for c in range(nc):
+            vf_c = dindex(vf, 0, c)                            # (6, ...)
+            af_c = dindex(af, 0, c)
+            pw_c = dindex(pwc, 0, c)                           # (3, ...)
+            kpc = sl(kp_ref[...], c, c + 1)                    # (1, T)
+            kvc = sl(kv_ref[...], c, c + 1)
+            pr_c = _row(p_ref_in, c)                           # (3, T)
+            fr_c = sl(fric, c, c + 1)                          # (1, T)
+            off = meta.f_offs[c]
+            if meta.ctypes[c] == 3:
+                l_c = dslice(vf_c, 0, 0, 3)
+                w_c = dslice(vf_c, 0, 3, 6)
+                a_cl = dadd(dslice(af_c, 0, 0, 3),
+                            dcross(w_c, l_c, 0))
+                C_parts.append(dadd(
+                    dadd(a_cl, cmul(kvc, l_c)),
+                    cmul(kpc, dsub(pw_c, Dual(pr_c)))))
+                cc = jnp.squeeze(fr_c, 0) / jnp.sqrt(
+                    jnp.asarray(2.0, dt))                      # (T,)
+                z_ = jnp.zeros_like(cc)
+                o_ = jnp.ones_like(cc)
+                Cm = jnp.stack([
+                    jnp.stack([z_, z_, -o_], axis=0),
+                    jnp.stack([o_, z_, -cc], axis=0),
+                    jnp.stack([-o_, z_, -cc], axis=0),
+                    jnp.stack([z_, o_, -cc], axis=0),
+                    jnp.stack([z_, -o_, -cc], axis=0),
+                ], axis=0)                                     # (5,3,T)
+                Rw_c = dindex(Rwc, 0, c)                       # (3,3,...)
+                fW = drotate(Rw_c, Dual(sl(f, off, off + 3)), 0)
+                g_parts.append(dsum(dmul(Dual(Cm), dexpand(fW, 0)), 1))
+                dgdf_blocks.append(
+                    jnp.sum(Cm[:, :, None] * Rw_c.val[None], axis=1))
+            else:
+                Rr = Dual(_row(Rref_in, c))                    # (3,3,T)
+                # relative placement M_ref^{-1} M(q), contact frame
+                Rw_c = dindex(Rwc, 0, c)
+                R_rel = dmatmul3(dchain_transpose(Rr), Rw_c, 0)
+                p_rel = drotate_T(Rr, dsub(pw_c, Dual(pr_c)), 0)
+                w_log = dso3_log(R_rel)                        # (3, ...)
+                v_log = dse3_log_linear(w_log, p_rel)
+                err6 = dcat([v_log, w_log], 0)                 # (6, ...)
+                C_parts.append(dadd(dadd(af_c, cmul(kvc, vf_c)),
+                                    cmul(kpc, err6)))
+                # 17-row rectangular wrench cone on the LOCAL wrench
+                mu_ = jnp.squeeze(fr_c, 0)                     # (T,)
+                X_ = _row(_row(rect_in, c), 0)
+                Y_ = _row(_row(rect_in, c), 1)
+                z_ = jnp.zeros_like(mu_)
+                o_ = jnp.ones_like(mu_)
+                XYmu = (X_ + Y_) * mu_
+                Wrows = [
+                    [z_, z_, -o_, z_, z_, z_],
+                    [-o_, z_, -mu_, z_, z_, z_],
+                    [o_, z_, -mu_, z_, z_, z_],
+                    [z_, -o_, -mu_, z_, z_, z_],
+                    [z_, o_, -mu_, z_, z_, z_],
+                    [z_, z_, -Y_, -o_, z_, z_],
+                    [z_, z_, -Y_, o_, z_, z_],
+                    [z_, z_, -X_, z_, -o_, z_],
+                    [z_, z_, -X_, z_, o_, z_],
+                    [-Y_, -X_, -XYmu, mu_, mu_, -o_],
+                    [-Y_, X_, -XYmu, mu_, -mu_, -o_],
+                    [Y_, -X_, -XYmu, -mu_, mu_, -o_],
+                    [Y_, X_, -XYmu, -mu_, -mu_, -o_],
+                    [Y_, X_, -XYmu, mu_, mu_, o_],
+                    [Y_, -X_, -XYmu, mu_, -mu_, o_],
+                    [-Y_, X_, -XYmu, -mu_, mu_, o_],
+                    [-Y_, -X_, -XYmu, -mu_, -mu_, o_],
+                ]
+                W = jnp.stack([jnp.stack(r, axis=0) for r in Wrows],
+                              axis=0)                          # (17,6,T)
+                wl = sl(f, off, off + 6)                       # (6,T)
+                g_parts.append(Dual(jnp.sum(W * wl[None], axis=1)))
+                dgdf_blocks.append(W)
+        C = dcat(C_parts, 0)                                   # (nf, ...)
+        g_cone = dcat(g_parts, 0)                              # (ncone,..)
     # task rows: contact-frame world positions + CoM
     com_all = com_ref[...]                                     # (nj, 3, T)
     mass_all = mass_ref[...]                                   # (nj, T)
@@ -586,21 +793,23 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     dtauq_ref[...] = bc_nv(tau.dq)
     dtauv_ref[...] = bc_nv(tau.dv)
     M_ref[...] = bc_nv(tau.da)
-    Cf = flatten2(C)
+    Cf = flatten2(C) if all_point else C        # generic path: (nf, ...)
     C_ref[...] = Cf.val
     dCq_ref[...] = bc_nv(Cf.dq)
     dCv_ref[...] = bc_nv(Cf.dv)
     J_ref[...] = bc_nv(Cf.da)
-    gf = flatten2(g_cone)
+    gf = flatten2(g_cone) if all_point else g_cone
     gc_ref[...] = gf.val
     dgdq_ref[...] = bc_nv(gf.dq) if gf.dq is not None \
         else zeros_t(meta.ncone)
-    # block-diagonal force Jacobian (nc 5x3 blocks)
+    # block-diagonal force Jacobian (per-contact (cone_d, ctype) blocks)
     rows = []
     for c in range(nc):
-        blk = _row(dgdf_blocks, c)                             # (5,3,T)
-        pre = jnp.zeros((5, 3 * c, T), dt)
-        post = jnp.zeros((5, meta.nf - 3 * c - 3, T), dt)
+        blk = dgdf_blocks[c]                    # (cone_d, ctype, T)
+        nr, ncol = meta.cone_ds[c], meta.ctypes[c]
+        off = meta.f_offs[c]
+        pre = jnp.zeros((nr, off, T), dt)
+        post = jnp.zeros((nr, meta.nf - off - ncol, T), dt)
         parts = [x for x in (pre, blk, post) if x.shape[1] > 0]
         rows.append(parts[0] if len(parts) == 1
                     else jnp.concatenate(parts, axis=1))
@@ -642,7 +851,7 @@ def _const_spec(shape):
 
 
 def _chain_flat(meta: ChainMeta, consts, interpret, q, v, a, f_eff,
-                fric, p_ref):
+                fric, p_ref, R_ref):
     """Batch-first (S, ...) -> dict of batch-first outputs."""
     S = q.shape[0]
     S_pad = -(-S // TILE) * TILE
@@ -653,12 +862,16 @@ def _chain_flat(meta: ChainMeta, consts, interpret, q, v, a, f_eff,
             x = jnp.pad(x, [(0, S_pad - S)] + [(0, 0)] * (x.ndim - 1))
         return jnp.moveaxis(x, 0, -1)
 
-    # padded stages: unit quaternion keeps the base rotation finite (the
-    # rest of the chain is polynomial in its inputs — no NaN sources)
+    # padded stages: unit quaternion keeps the base rotation finite; padded
+    # surface R_refs get identity so the se3_log trig stays well-defined
     if S_pad != S and meta.nq > meta.nv:
         qpad = jnp.zeros((S_pad - S, meta.nq), dt).at[:, 6].set(1.0)
         q = jnp.concatenate([q, qpad], axis=0)
-    ins = [to_lanes(x) for x in (q, v, a, f_eff, fric, p_ref)]
+    if S_pad != S:
+        Rpad = jnp.broadcast_to(jnp.eye(3, dtype=dt),
+                                (S_pad - S, meta.nc, 3, 3))
+        R_ref = jnp.concatenate([R_ref, Rpad], axis=0)
+    ins = [to_lanes(x) for x in (q, v, a, f_eff, fric, p_ref, R_ref)]
     in_specs = [_block_spec(x.shape[:-1], TILE) for x in ins]
     in_specs += [_const_spec(c.shape) for c in consts]
     shapes = _out_shapes(meta)
@@ -698,12 +911,13 @@ def make_chain(model, contacts, interpret=False):
         tile(np_(model.mass)), tile(np_(model.com)),
         tile(np_(model.inertia)), tile(np_(model.gravity)),
         tile(np_(model.frame_R)[fids]), tile(np_(model.frame_p)[fids]),
-        tile(np_(contacts.kp)), tile(np_(contacts.kv)))
+        tile(np_(contacts.kp)), tile(np_(contacts.kv)),
+        tile(np_(contacts.rect)))
 
     @jax.custom_batching.custom_vmap
-    def call(q, v, a, f_eff, fric, p_ref):
+    def call(q, v, a, f_eff, fric, p_ref, R_ref):
         out = _chain_flat(meta, consts, interpret, q, v, a, f_eff,
-                          fric, p_ref)
+                          fric, p_ref, R_ref)
         return tuple(out[n] for n in _OUTS)
 
     @call.def_vmap
@@ -721,8 +935,12 @@ def make_chain(model, contacts, interpret=False):
         outs = tuple(o.reshape((axis_size, -1) + o.shape[1:]) for o in outs)
         return outs, tuple(True for _ in outs)
 
-    def fn(q, v, a, f_eff, fric, p_ref):
-        out = call(q, v, a, f_eff, fric, p_ref)
+    def fn(q, v, a, f_eff, fric, p_ref, R_ref=None):
+        if R_ref is None:
+            R_ref = jnp.broadcast_to(
+                jnp.eye(3, dtype=q.dtype),
+                q.shape[:-1] + (meta.nc, 3, 3))
+        out = call(q, v, a, f_eff, fric, p_ref, R_ref)
         return dict(zip(_OUTS, out))
 
     return fn

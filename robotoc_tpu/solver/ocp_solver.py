@@ -407,7 +407,7 @@ def _build(model, contacts, limits, barrier, n_imp,
         rowmask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
         chain_out = pchain.get_chain(model, contacts)(
             sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.f[:-1] * rowmask,
-            grid.friction[:-1], grid.p_ref[:-1])
+            grid.friction[:-1], grid.p_ref[:-1], grid.R_ref[:-1])
         pre = jax.vmap(lambda co, *a: pre_fn(*a, chain_out=co))(
             chain_out, *pre_args)
     else:

@@ -128,11 +128,28 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
     J = J * rowmask[:, None]
 
     # ---- cost ----------------------------------------------------------
-    quad = cost_base.quadratize_stage(costs, model, nf, q, v, a, u, f, t,
-                                      dt, kin=kin)
-    c, lq_c, lv_c, la_c, lu_c, lf_c = (quad.cost, quad.lq, quad.lv,
-                                       quad.la, quad.lu, quad.lf)
-    Wq, Wv, Wa, Wu, Wf = quad.Qqq, quad.Qvv, quad.Qaa, quad.Quu, quad.Qff
+    if chain_out is not None and "cq_lq" in chain_out:
+        # in-kernel cost quadratization (ops/pallas_chain with_cost):
+        # the chain kernel emitted the combined gait-stack Gauss-Newton
+        # blocks; only the diagonal v/a/u Hessians are assembled here
+        co = chain_out
+        cfg = costs[0]
+        c = co["cq_cost"][0]
+        lq_c, lv_c, la_c, lu_c = (co["cq_lq"], co["cq_lv"], co["cq_la"],
+                                  co["cq_lu"])
+        lf_c = jnp.zeros(nf, dtype)
+        Wq = co["cq_Wq"]
+        Wv = jnp.diag(dt * cfg.v_weight)
+        Wa = jnp.diag(dt * cfg.a_weight)
+        Wu = jnp.diag(dt * cfg.u_weight)
+        Wf = jnp.zeros((nf, nf), dtype)
+    else:
+        quad = cost_base.quadratize_stage(costs, model, nf, q, v, a, u,
+                                          f, t, dt, kin=kin)
+        c, lq_c, lv_c, la_c, lu_c, lf_c = (quad.cost, quad.lq, quad.lv,
+                                           quad.la, quad.lu, quad.lf)
+        Wq, Wv, Wa, Wu, Wf = (quad.Qqq, quad.Qvv, quad.Qaa, quad.Quu,
+                              quad.Qff)
 
     # ---- inequality constraints (PDIPM) --------------------------------
     e_lim = jl.constraint_values(model, limits, q, v, u, a)

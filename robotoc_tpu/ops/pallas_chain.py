@@ -249,6 +249,20 @@ def dindex2(R: Dual, i: int, j: int) -> Dual:
     return dindex(dindex(R, 0, i), 0, j)
 
 
+def _acos(x):
+    """Branch-free arccos via the Hastings minimax polynomial
+    (|err| <= 2e-8, f32-exact): Mosaic TPU has no acos lowering, and
+    sqrt/select/polynomials it does have."""
+    dt = x.dtype
+    ax = jnp.abs(x)
+    p = jnp.asarray(-0.0012624911, dt)
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + jnp.asarray(c, dt)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, jnp.asarray(0.0, dt))) * p
+    return jnp.where(x >= 0, r, jnp.asarray(np.pi, dt) - r)
+
+
 def dso3_log(R: Dual) -> Dual:
     """so3_log of a (3, 3, T) rotation Dual -> (3, T) rotation-vector
     Dual: w = theta / (2 sin theta) * vee(R - R^T), theta = acos((tr R -
@@ -260,7 +274,7 @@ def dso3_log(R: Dual) -> Dual:
 
     def _theta_s(trv):
         c = jnp.clip(0.5 * (trv - 1.0), -1.0 + 1e-7, 1.0 - 1e-12)
-        theta = jnp.arccos(c)
+        theta = _acos(c)
         s = jnp.sqrt(jnp.maximum(1.0 - c * c,
                                  jnp.asarray(1e-24, dt)))
         return theta, s
@@ -362,9 +376,16 @@ class ChainMeta(NamedTuple):
     ctypes: tuple          # per-contact force rows (3 point / 6 surface)
     f_offs: tuple          # per-contact offset into the force stack
     cone_ds: tuple         # per-contact cone rows (5 point / 17 surface)
+    nu: int = 0            # actuated dims (cost fold)
+    with_cost: bool = False
+    """Fold the gait cost stack's stage quadratization (config +
+    base-rotation + multi-frame task Gauss-Newton blocks) into the
+    kernel — round-5 perf item: the XLA cost segment ran in
+    sample-in-lanes layout (nv=18 of 128 lanes used); here it rides the
+    batch-in-lanes chain with the task rows it already computes."""
 
 
-def chain_meta(model, contacts) -> ChainMeta:
+def chain_meta(model, contacts, with_cost=False) -> ChainMeta:
     levels = tuple((jt, tuple(idxs)) for jt, idxs in rm.chain_levels(model))
     cpar = tuple(model.frame_parents[f] for f in contacts.frame_ids)
     return ChainMeta(
@@ -374,7 +395,46 @@ def chain_meta(model, contacts) -> ChainMeta:
         v_offs=tuple(model.v_offs), q_offs=tuple(model.q_offs),
         cpar=cpar, total_mass=float(np.sum(np.asarray(model.mass))),
         ctypes=tuple(contacts.types), f_offs=tuple(contacts.f_offsets),
-        cone_ds=tuple(contacts.cone_dims))
+        cone_ds=tuple(contacts.cone_dims),
+        nu=model.dimu, with_cost=bool(with_cost))
+
+
+def cost_fold_supported(model, costs, contacts) -> bool:
+    """True when `costs` is exactly the gait-engine stack the kernel can
+    quadratize in-kernel: (ConfigurationSpaceCost with a constant q_ref,
+    BaseRotationCost, MultiFrameTaskCost over the contact frames) on a
+    floating-base model. Anything else quadratizes in XLA as before."""
+    from ..costs.config_cost import ConfigurationSpaceCost
+    from ..costs.task_cost import BaseRotationCost, MultiFrameTaskCost
+    if not model.floating_base or len(costs) != 3:
+        return False
+    cfg, br, task = costs
+    return (isinstance(cfg, ConfigurationSpaceCost)
+            and cfg.q_ref_fn is None
+            and isinstance(br, BaseRotationCost)
+            and isinstance(task, MultiFrameTaskCost)
+            and tuple(task.frame_ids) == tuple(contacts.frame_ids))
+
+
+def cost_fold_inputs(model, contacts, costs, grid, sol):
+    """Traced per-slot inputs for the in-kernel cost quadratization:
+    reference VALUES (the cheap searchsorted/lerp part stays XLA) and the
+    weight vectors broadcast over the slot axis (so the fleet custom-vmap
+    flattening treats them like every other stage array)."""
+    cfg, br, task = costs
+    dtype = sol.q.dtype
+    ts_arr = grid.t[:-1]
+    S = ts_arr.shape[0]
+    ref, act = jax.vmap(lambda t: task._ref_active(t, dtype))(ts_arr)
+    quat_ref = jax.vmap(lambda t: br.ref(t)[0])(ts_arr)
+    nc = len(task.frame_ids)
+    w_task = jnp.concatenate([jnp.tile(task.foot_weight, nc),
+                              task.com_weight])
+    bS = lambda x: jnp.broadcast_to(x, (S,) + x.shape)
+    return (sol.u[:-1], grid.dt[:, None], ref, act, quat_ref,
+            bS(cfg.q_weight), bS(cfg.v_weight), bS(cfg.a_weight),
+            bS(cfg.u_weight), bS(w_task), bS(br.weight),
+            bS(cfg.q_ref), bS(cfg.v_ref))
 
 
 def chain_supported(model, contacts) -> bool:
@@ -415,13 +475,27 @@ def _vmatmul(A, B, axis):
                    axis=axis + 1)
 
 
-def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
-                  pref_ref, Rref_ref,
-                  XR_ref, Xp_ref, ax_ref, mass_ref, com_ref, I_ref,
-                  g3_ref, fR_ref, fp_ref, kp_ref, kv_ref, rect_ref,
-                  tau_ref, dtauq_ref, dtauv_ref, M_ref,
-                  C_ref, dCq_ref, dCv_ref, J_ref,
-                  gc_ref, dgdq_ref, dgdf_ref, task_ref, dtask_ref):
+N_COST_IN = 13   # u, dt, task_ref, task_act, brot_quat, 6 weights, q/v ref
+
+
+def _chain_kernel(meta: ChainMeta, *refs):
+    (q_ref, v_ref, a_ref, f_ref, fric_ref, pref_ref, Rref_ref) = refs[:7]
+    k = 7
+    if meta.with_cost:
+        (u_ref, dtl_ref, tref_ref, tact_ref, brq_ref, wq_ref, wv_ref,
+         wa_ref, wu_ref, wtask_ref, wbr_ref, qref_ref,
+         vref_ref) = refs[k:k + N_COST_IN]
+        k += N_COST_IN
+    (XR_ref, Xp_ref, ax_ref, mass_ref, com_ref, I_ref,
+     g3_ref, fR_ref, fp_ref, kp_ref, kv_ref, rect_ref) = refs[k:k + 12]
+    k += 12
+    (tau_ref, dtauq_ref, dtauv_ref, M_ref,
+     C_ref, dCq_ref, dCv_ref, J_ref,
+     gc_ref, dgdq_ref, dgdf_ref, task_ref, dtask_ref) = refs[k:k + 13]
+    k += 13
+    if meta.with_cost:
+        (cqc_ref, cqlq_ref, cqlv_ref, cqla_ref, cqlu_ref,
+         cqWq_ref) = refs[k:k + 6]
     nv, nj, nc = meta.nv, meta.nj, meta.nc
     dt = q_ref.dtype
     T = q_ref.shape[-1]
@@ -819,22 +893,134 @@ def _chain_kernel(meta: ChainMeta, q_ref, v_ref, a_ref, f_ref, fric_ref,
     task_ref[...] = task.val
     dtask_ref[...] = bc_nv(task.dq)
 
+    # ---- in-kernel cost quadratization (meta.with_cost) ----------------
+    # Gauss-Newton blocks of the gait cost stack (ConfigurationSpaceCost
+    # + BaseRotationCost + MultiFrameTaskCost; reference mpc_trot.cpp:
+    # 42-81) in the SAME batch-in-lanes layout — the XLA version ran
+    # these tiny (nv x nv) contractions sample-in-lanes at ~14% lane
+    # utilization (round-5 profile: 4.9 ms of the 12 ms stage glue).
+    if meta.with_cost:
+        u_in = u_ref[...]                                      # (nu, T)
+        dtl = dtl_ref[...]                                     # (1, T)
+        wq = wq_ref[...]                                       # (nv, T)
+        wv = wv_ref[...]
+        wa = wa_ref[...]
+        wu = wu_ref[...]                                       # (nu, T)
+        qr = qref_ref[...]                                     # (nq, T)
+        vr = vref_ref[...]                                     # (nv, T)
+
+        def quat_rot(qv):
+            """(4, T) quaternion -> (3, 3, T) rotation, value planes."""
+            x_, y_, z_, w_ = (sl(qv, 0, 1), sl(qv, 1, 2), sl(qv, 2, 3),
+                              sl(qv, 3, 4))
+            xx, yy, zz = x_ * x_, y_ * y_, z_ * z_
+            xy, xz, yz = x_ * y_, x_ * z_, y_ * z_
+            wx, wy, wz = w_ * x_, w_ * y_, w_ * z_
+            one = jnp.ones_like(x_)
+            r0 = jnp.concatenate([one - 2 * (yy + zz), 2 * (xy - wz),
+                                  2 * (xz + wy)], axis=0)
+            r1 = jnp.concatenate([2 * (xy + wz), one - 2 * (xx + zz),
+                                  2 * (yz - wx)], axis=0)
+            r2 = jnp.concatenate([2 * (xz - wy), 2 * (yz + wx),
+                                  one - 2 * (xx + yy)], axis=0)
+            return jnp.stack([r0, r1, r2], axis=0)
+
+        # base pose Dual from q's raw (p, quat) blocks — local-tangent
+        # seeds matching models/robot.integrate (dR = R hat(e),
+        # dp = R e)
+        R1v = quat_rot(sl(q, 3, 7))                            # (3,3,T)
+        R1col = lambda j: jax.lax.slice_in_dim(R1v, j, j + 1, axis=1)
+        zc1 = jnp.zeros_like(R1col(0))
+        dR1 = [jnp.concatenate([zc1, R1col(2), -R1col(1)], axis=1),
+               jnp.concatenate([-R1col(2), zc1, R1col(0)], axis=1),
+               jnp.concatenate([R1col(1), -R1col(0), zc1], axis=1)]
+        rot_hots = one_hot_rows(nv, [3, 4, 5], dt, T)
+        dq_R1 = sum(dR1[i][:, :, None, :]
+                    * _row(rot_hots, i)[None, None]
+                    for i in range(3))                         # (3,3,nv,T)
+        lin_hots = one_hot_rows(nv, [0, 1, 2], dt, T)
+        dq_p1 = sum(jnp.squeeze(R1col(j), axis=1)[:, None, :]
+                    * _row(lin_hots, j)[None]
+                    for j in range(3))                         # (3,nv,T)
+        R1 = Dual(R1v, dq_R1)
+        p1 = Dual(sl(q, 0, 3), dq_p1)
+
+        # configuration-space residual q minus q_ref (Lie difference,
+        # costs/config_cost._qdiff_and_jac): base log6 + joint deltas
+        R0 = Dual(quat_rot(sl(qr, 3, 7)))
+        p0 = Dual(sl(qr, 0, 3))
+        R_rel = dmatmul3(dchain_transpose(R0), R1, 0)
+        p_rel = drotate_T(R0, dsub(p1, p0), 0)
+        w_log = dso3_log(R_rel)
+        v_log = dse3_log_linear(w_log, p_rel)
+        hots_j = one_hot_rows(nv, list(range(6, nv)), dt, T)
+        qdiff = dcat([v_log, w_log,
+                      Dual(sl(q, 7, meta.nq) - sl(qr, 7, meta.nq),
+                           hots_j)], 0)                        # (nv, T)
+
+        # base-rotation residual log3(R_ref(t)^T R_base)
+        # (costs/task_cost.BaseRotationCost)
+        Rbr = Dual(quat_rot(brq_ref[...]))
+        rbr = dso3_log(dmatmul3(dchain_transpose(Rbr), R1, 0))  # (3, T)
+
+        # task residual (feet + CoM vs baked refs)
+        r_task = dsub(task, Dual(tref_ref[...]))
+        w_task = wtask_ref[...] * tact_ref[...]                # (ntask, T)
+
+        def quad_rows(res, w):
+            """lq = J^T (w r), Wq = J^T diag(w) J, csum = r^T W r for a
+            (R, T) residual Dual with q-tangents (R, nv, T)."""
+            wr = w * res.val
+            lq = jnp.sum(res.dq * wr[:, None, :], axis=0)
+            Wq = None
+            for r in range(res.val.shape[0]):
+                dr = jnp.squeeze(
+                    jax.lax.slice_in_dim(res.dq, r, r + 1, axis=0), 0)
+                wrow = jax.lax.slice_in_dim(w, r, r + 1, axis=0)
+                contrib = wrow[None] * dr[:, None, :] * dr[None, :, :]
+                Wq = contrib if Wq is None else Wq + contrib
+            return lq, Wq, jnp.sum(w * res.val * res.val, axis=0)
+
+        lq1, Wq1, c1 = quad_rows(qdiff, wq)
+        lq2, Wq2, c2 = quad_rows(rbr, wbr_ref[...])
+        lq3, Wq3, c3 = quad_rows(r_task, w_task)
+        dv_res = v - vr
+        c_va = (jnp.sum(wv * dv_res * dv_res, axis=0)
+                + jnp.sum(wa * a * a, axis=0)
+                + jnp.sum(wu * u_in * u_in, axis=0))       # (T,)
+        cqc_ref[...] = 0.5 * dtl * (c1 + c2 + c3 + c_va)
+        cqlq_ref[...] = dtl * (lq1 + lq2 + lq3)
+        cqlv_ref[...] = dtl * wv * dv_res
+        cqla_ref[...] = dtl * wa * a
+        cqlu_ref[...] = dtl * wu * u_in
+        cqWq_ref[...] = dtl[None] * (Wq1 + Wq2 + Wq3)
+
 # ---------------------------------------------------------------------------
 # pallas_call wrapper + fleet-vmap entry
 # ---------------------------------------------------------------------------
 
 _OUTS = ("tau", "dtau_dq", "dtau_dv", "M", "C", "dCdq", "dCdv", "J",
          "g", "dgdq", "dgdf", "task", "dtask")
+_COST_OUTS = ("cq_cost", "cq_lq", "cq_lv", "cq_la", "cq_lu", "cq_Wq")
+
+
+def _out_names(meta: ChainMeta):
+    return _OUTS + _COST_OUTS if meta.with_cost else _OUTS
 
 
 def _out_shapes(meta: ChainMeta):
     nv, nf, ncone = meta.nv, meta.nf, meta.ncone
     ntask = 3 * meta.nc + 3
-    return {"tau": (nv,), "dtau_dq": (nv, nv), "dtau_dv": (nv, nv),
-            "M": (nv, nv), "C": (nf,), "dCdq": (nf, nv),
-            "dCdv": (nf, nv), "J": (nf, nv), "g": (ncone,),
-            "dgdq": (ncone, nv), "dgdf": (ncone, nf),
-            "task": (ntask,), "dtask": (ntask, nv)}
+    out = {"tau": (nv,), "dtau_dq": (nv, nv), "dtau_dv": (nv, nv),
+           "M": (nv, nv), "C": (nf,), "dCdq": (nf, nv),
+           "dCdv": (nf, nv), "J": (nf, nv), "g": (ncone,),
+           "dgdq": (ncone, nv), "dgdf": (ncone, nf),
+           "task": (ntask,), "dtask": (ntask, nv)}
+    if meta.with_cost:
+        out.update({"cq_cost": (1,), "cq_lq": (nv,), "cq_lv": (nv,),
+                    "cq_la": (nv,), "cq_lu": (meta.nu,),
+                    "cq_Wq": (nv, nv)})
+    return out
 
 
 def _block_spec(shape_head, tile):
@@ -851,7 +1037,7 @@ def _const_spec(shape):
 
 
 def _chain_flat(meta: ChainMeta, consts, interpret, q, v, a, f_eff,
-                fric, p_ref, R_ref):
+                fric, p_ref, R_ref, *cost_ins):
     """Batch-first (S, ...) -> dict of batch-first outputs."""
     S = q.shape[0]
     S_pad = -(-S // TILE) * TILE
@@ -871,13 +1057,20 @@ def _chain_flat(meta: ChainMeta, consts, interpret, q, v, a, f_eff,
         Rpad = jnp.broadcast_to(jnp.eye(3, dtype=dt),
                                 (S_pad - S, meta.nc, 3, 3))
         R_ref = jnp.concatenate([R_ref, Rpad], axis=0)
-    ins = [to_lanes(x) for x in (q, v, a, f_eff, fric, p_ref, R_ref)]
+    if meta.with_cost and S_pad != S:
+        # pad the cost q_ref (index 11) with unit quaternions too
+        cost_ins = list(cost_ins)
+        qrpad = jnp.zeros((S_pad - S, meta.nq), dt).at[:, 6].set(1.0)
+        cost_ins[11] = jnp.concatenate([cost_ins[11], qrpad], axis=0)
+    ins = [to_lanes(x) for x in
+           (q, v, a, f_eff, fric, p_ref, R_ref) + tuple(cost_ins)]
     in_specs = [_block_spec(x.shape[:-1], TILE) for x in ins]
     in_specs += [_const_spec(c.shape) for c in consts]
+    names = _out_names(meta)
     shapes = _out_shapes(meta)
-    out_specs = tuple(_block_spec(shapes[n], TILE) for n in _OUTS)
+    out_specs = tuple(_block_spec(shapes[n], TILE) for n in names)
     out_shape = tuple(jax.ShapeDtypeStruct(shapes[n] + (S_pad,), dt)
-                      for n in _OUTS)
+                      for n in names)
     outs = pl.pallas_call(
         functools.partial(_chain_kernel, meta),
         grid=(S_pad // TILE,),
@@ -886,14 +1079,15 @@ def _chain_flat(meta: ChainMeta, consts, interpret, q, v, a, f_eff,
         out_shape=out_shape,
         interpret=interpret,
     )(*ins, *consts)
-    return {n: jnp.moveaxis(o, -1, 0)[:S] for n, o in zip(_OUTS, outs)}
+    return {n: jnp.moveaxis(o, -1, 0)[:S] for n, o in zip(names, outs)}
 
 
-def make_chain(model, contacts, interpret=False):
-    """Returns fn(q, v, a, f_eff, fric, p_ref) over batch-first (S, ...)
-    arrays -> dict; custom-vmapped so the MPC fleet batch flattens into
-    the stage/lane axis."""
-    meta = chain_meta(model, contacts)
+def make_chain(model, contacts, interpret=False, with_cost=False):
+    """Returns fn(q, v, a, f_eff, fric, p_ref[, R_ref][, cost inputs])
+    over batch-first (S, ...) arrays -> dict; custom-vmapped so the MPC
+    fleet batch flattens into the stage/lane axis. with_cost appends the
+    N_COST_IN cost-fold inputs (cost_fold_inputs) and the cq_* outputs."""
+    meta = chain_meta(model, contacts, with_cost=with_cost)
     dt = model.dtype
     # pure-NUMPY const assembly, kept as numpy: get_chain is first called
     # inside a jit trace, where jnp values would be that trace's tracers
@@ -914,11 +1108,12 @@ def make_chain(model, contacts, interpret=False):
         tile(np_(contacts.kp)), tile(np_(contacts.kv)),
         tile(np_(contacts.rect)))
 
+    names = _out_names(meta)
+
     @jax.custom_batching.custom_vmap
-    def call(q, v, a, f_eff, fric, p_ref, R_ref):
-        out = _chain_flat(meta, consts, interpret, q, v, a, f_eff,
-                          fric, p_ref, R_ref)
-        return tuple(out[n] for n in _OUTS)
+    def call(*args):
+        out = _chain_flat(meta, consts, interpret, *args)
+        return tuple(out[n] for n in names)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -935,13 +1130,15 @@ def make_chain(model, contacts, interpret=False):
         outs = tuple(o.reshape((axis_size, -1) + o.shape[1:]) for o in outs)
         return outs, tuple(True for _ in outs)
 
-    def fn(q, v, a, f_eff, fric, p_ref, R_ref=None):
+    def fn(q, v, a, f_eff, fric, p_ref, R_ref=None, *cost_ins):
         if R_ref is None:
             R_ref = jnp.broadcast_to(
                 jnp.eye(3, dtype=q.dtype),
                 q.shape[:-1] + (meta.nc, 3, 3))
-        out = call(q, v, a, f_eff, fric, p_ref, R_ref)
-        return dict(zip(_OUTS, out))
+        assert len(cost_ins) == (N_COST_IN if with_cost else 0), \
+            "cost-fold chain needs cost_fold_inputs(...)"
+        out = call(q, v, a, f_eff, fric, p_ref, R_ref, *cost_ins)
+        return dict(zip(names, out))
 
     return fn
 
@@ -950,7 +1147,7 @@ _CHAIN_CACHE = collections.OrderedDict()
 _CHAIN_CACHE_MAX = 8
 
 
-def get_chain(model, contacts):
+def get_chain(model, contacts, with_cost=False):
     """Cached per (model, contacts) identity; Mosaic on TPU, interpreter
     on CPU (tests). The cache VALUE holds strong references to the keyed
     objects and verifies identity on hit: a bare id() key could silently
@@ -959,12 +1156,13 @@ def get_chain(model, contacts):
     unbounded strong refs leaked compiled kernels + model arrays in
     long-lived processes creating many models)."""
     interpret = jax.default_backend() == "cpu"
-    key = (id(model), id(contacts), interpret)
+    key = (id(model), id(contacts), interpret, bool(with_cost))
     hit = _CHAIN_CACHE.get(key)
     if hit is not None and hit[0] is model and hit[1] is contacts:
         _CHAIN_CACHE.move_to_end(key)
         return hit[2]
-    fn = make_chain(model, contacts, interpret=interpret)
+    fn = make_chain(model, contacts, interpret=interpret,
+                    with_cost=with_cost)
     _CHAIN_CACHE[key] = (model, contacts, fn)
     _CHAIN_CACHE.move_to_end(key)
     while len(_CHAIN_CACHE) > _CHAIN_CACHE_MAX:

@@ -403,11 +403,17 @@ def _build(model, contacts, limits, barrier, n_imp,
     from ..ops import pallas_chain as pchain
     if use_chain and use_pallas and pchain.chain_supported(model, contacts):
         # fused chain kernel for ALL intermediate grids in one call
-        # (the custom-vmap flattens the fleet batch into the lane axis)
+        # (the custom-vmap flattens the fleet batch into the lane axis);
+        # gait cost stacks quadratize IN-KERNEL too (round-5)
         rowmask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
-        chain_out = pchain.get_chain(model, contacts)(
+        with_cost = pchain.cost_fold_supported(model, costs, contacts)
+        cost_ins = (pchain.cost_fold_inputs(model, contacts, costs, grid,
+                                            sol) if with_cost else ())
+        chain_out = pchain.get_chain(model, contacts,
+                                     with_cost=with_cost)(
             sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.f[:-1] * rowmask,
-            grid.friction[:-1], grid.p_ref[:-1], grid.R_ref[:-1])
+            grid.friction[:-1], grid.p_ref[:-1], grid.R_ref[:-1],
+            *cost_ins)
         pre = jax.vmap(lambda co, *a: pre_fn(*a, chain_out=co))(
             chain_out, *pre_args)
     else:

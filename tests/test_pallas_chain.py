@@ -137,3 +137,68 @@ def test_chain_surface_matches_jacfwd(setup_surface):
         np.testing.assert_allclose(
             np.asarray(out[name]), np.asarray(ref[name]),
             rtol=1e-6, atol=1e-7, err_msg=name)
+
+
+def test_chain_cost_fold_matches_xla():
+    """In-kernel cost quadratization (with_cost) vs the XLA quadratize on
+    the flagship gait stack (round-5 perf item): cost, gradients, and the
+    dense Wq must match."""
+    import jax.numpy as jnp
+    from robotoc_tpu.mpc.mpc_trot import MPCTrot
+    from robotoc_tpu.costs import base as cost_base
+
+    m = load_robot("anymal")
+    mpc = MPCTrot(m, T=0.5, N=10)
+    planner = mpc.make_planner()
+    planner.set_gait_pattern(np.array([0.15, 0, 0]), 0.0)
+    mpc.set_gait_pattern(planner, swing_height=0.1, swing_time=0.25,
+                         stance_time=0.0, swing_start_time=0.5)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0],
+                     m.dtype)
+    v0 = jnp.zeros(18, m.dtype)
+    mpc.planner.init(q0)
+    mpc.config_cost = mpc.config_cost.replace(q_ref=q0)
+    grid, costs = mpc._build_schedule_and_costs(0.3, q0, v0)
+    contacts = mpc.contacts
+    assert pch.cost_fold_supported(m, costs, contacts)
+
+    from robotoc_tpu.solver import ocp_solver as OS
+    sol = OS.make_initial_solution(m, contacts, mpc.limits, 1e-3, grid,
+                                   q0, v0)
+    # perturb the state so residuals are nonzero
+    key = jax.random.PRNGKey(5)
+    dq = 0.2 * jax.random.normal(key, (sol.q.shape[0], m.nv), m.dtype)
+    sol = sol.replace(q=jax.vmap(lambda qq, d: rm.integrate(m, qq, d))(
+        sol.q, dq),
+        v=sol.v + 0.3 * jax.random.normal(jax.random.PRNGKey(6),
+                                          sol.v.shape, m.dtype),
+        a=0.5 * jax.random.normal(jax.random.PRNGKey(7), sol.a.shape,
+                                  m.dtype),
+        u=0.5 * jax.random.normal(jax.random.PRNGKey(8), sol.u.shape,
+                                  m.dtype))
+
+    rowmask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
+    cost_ins = pch.cost_fold_inputs(m, contacts, costs, grid, sol)
+    fn = pch.get_chain(m, contacts, with_cost=True)
+    out = jax.jit(fn)(sol.q[:-1], sol.v[:-1], sol.a[:-1],
+                      sol.f[:-1] * rowmask, grid.friction[:-1],
+                      grid.p_ref[:-1], grid.R_ref[:-1], *cost_ins)
+
+    def ref_one(q, v, a, u, f, t, dt):
+        quad = cost_base.quadratize_stage(
+            costs, m, contacts.max_dimf, q, v, a, u, f, t, dt)
+        return quad.cost, quad.lq, quad.lv, quad.la, quad.lu, quad.Qqq
+
+    c_r, lq_r, lv_r, la_r, lu_r, Wq_r = jax.jit(jax.vmap(ref_one))(
+        sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.f[:-1],
+        grid.t[:-1], grid.dt)
+    np.testing.assert_allclose(np.asarray(out["cq_cost"][:, 0]),
+                               np.asarray(c_r), rtol=1e-8, atol=1e-10)
+    for name, got, want in (("lq", out["cq_lq"], lq_r),
+                            ("lv", out["cq_lv"], lv_r),
+                            ("la", out["cq_la"], la_r),
+                            ("lu", out["cq_lu"], lu_r),
+                            ("Wq", out["cq_Wq"], Wq_r)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-7, atol=1e-8, err_msg=name)

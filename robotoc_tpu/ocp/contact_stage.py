@@ -163,7 +163,15 @@ def stage_pre(model, contacts, costs, limits, t, dt, barrier,
     cone_gf = dgdf.T @ zr
 
     # ---- state equation (Lie-corrected) --------------------------------
-    Aqq, Aqv, xres_q = se.linearize(model, q, v, dt, q_n)
+    if chain_out is not None and "se_xres" in chain_out:
+        # in-kernel Lie-Jacobian blocks (ops/pallas_chain state-eq fold);
+        # only the 6x6 base blocks differ from the Euclidean form
+        eye_nv = jnp.eye(nv, dtype=dtype)
+        Aqq = eye_nv.at[:6, :6].set(chain_out["se_Aqq6"])
+        Aqv = (dt * eye_nv).at[:6, :6].set(dt * chain_out["se_J1binv"])
+        xres_q = chain_out["se_xres"]
+    else:
+        Aqq, Aqv, xres_q = se.linearize(model, q, v, dt, q_n)
     Fv_res = v + dt * a - v_n
 
     # ---- condense-kernel inputs ----------------------------------------

@@ -434,7 +434,7 @@ def cost_fold_inputs(model, contacts, costs, grid, sol):
     return (sol.u[:-1], grid.dt[:, None], ref, act, quat_ref,
             bS(cfg.q_weight), bS(cfg.v_weight), bS(cfg.a_weight),
             bS(cfg.u_weight), bS(w_task), bS(br.weight),
-            bS(cfg.q_ref), bS(cfg.v_ref))
+            bS(cfg.q_ref), bS(cfg.v_ref), sol.q[1:])
 
 
 def chain_supported(model, contacts) -> bool:
@@ -475,7 +475,7 @@ def _vmatmul(A, B, axis):
                    axis=axis + 1)
 
 
-N_COST_IN = 13   # u, dt, task_ref, task_act, brot_quat, 6 weights, q/v ref
+N_COST_IN = 14   # u, dt, task refs, brot quat, 6 weights, q/v ref, q_next
 
 
 def _chain_kernel(meta: ChainMeta, *refs):
@@ -483,8 +483,8 @@ def _chain_kernel(meta: ChainMeta, *refs):
     k = 7
     if meta.with_cost:
         (u_ref, dtl_ref, tref_ref, tact_ref, brq_ref, wq_ref, wv_ref,
-         wa_ref, wu_ref, wtask_ref, wbr_ref, qref_ref,
-         vref_ref) = refs[k:k + N_COST_IN]
+         wa_ref, wu_ref, wtask_ref, wbr_ref, qref_ref, vref_ref,
+         qnext_ref) = refs[k:k + N_COST_IN]
         k += N_COST_IN
     (XR_ref, Xp_ref, ax_ref, mass_ref, com_ref, I_ref,
      g3_ref, fR_ref, fp_ref, kp_ref, kv_ref, rect_ref) = refs[k:k + 12]
@@ -494,8 +494,8 @@ def _chain_kernel(meta: ChainMeta, *refs):
      gc_ref, dgdq_ref, dgdf_ref, task_ref, dtask_ref) = refs[k:k + 13]
     k += 13
     if meta.with_cost:
-        (cqc_ref, cqlq_ref, cqlv_ref, cqla_ref, cqlu_ref,
-         cqWq_ref) = refs[k:k + 6]
+        (cqc_ref, cqlq_ref, cqlv_ref, cqla_ref, cqlu_ref, cqWq_ref,
+         seA_ref, seJ_ref, sex_ref) = refs[k:k + 9]
     nv, nj, nc = meta.nv, meta.nj, meta.nc
     dt = q_ref.dtype
     T = q_ref.shape[-1]
@@ -925,25 +925,29 @@ def _chain_kernel(meta: ChainMeta, *refs):
                                   one - 2 * (xx + yy)], axis=0)
             return jnp.stack([r0, r1, r2], axis=0)
 
-        # base pose Dual from q's raw (p, quat) blocks — local-tangent
-        # seeds matching models/robot.integrate (dR = R hat(e),
-        # dp = R e)
-        R1v = quat_rot(sl(q, 3, 7))                            # (3,3,T)
-        R1col = lambda j: jax.lax.slice_in_dim(R1v, j, j + 1, axis=1)
-        zc1 = jnp.zeros_like(R1col(0))
-        dR1 = [jnp.concatenate([zc1, R1col(2), -R1col(1)], axis=1),
-               jnp.concatenate([-R1col(2), zc1, R1col(0)], axis=1),
-               jnp.concatenate([R1col(1), -R1col(0), zc1], axis=1)]
-        rot_hots = one_hot_rows(nv, [3, 4, 5], dt, T)
-        dq_R1 = sum(dR1[i][:, :, None, :]
-                    * _row(rot_hots, i)[None, None]
-                    for i in range(3))                         # (3,3,nv,T)
-        lin_hots = one_hot_rows(nv, [0, 1, 2], dt, T)
-        dq_p1 = sum(jnp.squeeze(R1col(j), axis=1)[:, None, :]
-                    * _row(lin_hots, j)[None]
-                    for j in range(3))                         # (3,nv,T)
-        R1 = Dual(R1v, dq_R1)
-        p1 = Dual(sl(q, 0, 3), dq_p1)
+        def base_pose_dual(qv, col0, W):
+            """(R, p) Dual of a base pose block (>=7, T) with
+            local-tangent seeds at columns col0..col0+5 of a W-wide
+            tangent axis (matching models/robot.integrate: dR = R hat(e),
+            dp = R e)."""
+            Rv = quat_rot(sl(qv, 3, 7))                        # (3,3,T)
+            Rcol = lambda j: jax.lax.slice_in_dim(Rv, j, j + 1, axis=1)
+            zc1 = jnp.zeros_like(Rcol(0))
+            dR = [jnp.concatenate([zc1, Rcol(2), -Rcol(1)], axis=1),
+                  jnp.concatenate([-Rcol(2), zc1, Rcol(0)], axis=1),
+                  jnp.concatenate([Rcol(1), -Rcol(0), zc1], axis=1)]
+            rot_hots = one_hot_rows(W, [col0 + 3, col0 + 4, col0 + 5],
+                                    dt, T)
+            dq_R = sum(dR[i][:, :, None, :]
+                       * _row(rot_hots, i)[None, None]
+                       for i in range(3))                      # (3,3,W,T)
+            lin_hots = one_hot_rows(W, [col0, col0 + 1, col0 + 2], dt, T)
+            dq_p = sum(jnp.squeeze(Rcol(j), axis=1)[:, None, :]
+                       * _row(lin_hots, j)[None]
+                       for j in range(3))                      # (3,W,T)
+            return Dual(Rv, dq_R), Dual(sl(qv, 0, 3), dq_p)
+
+        R1, p1 = base_pose_dual(q, 0, nv)
 
         # configuration-space residual q minus q_ref (Lie difference,
         # costs/config_cost._qdiff_and_jac): base log6 + joint deltas
@@ -995,13 +999,42 @@ def _chain_kernel(meta: ChainMeta, *refs):
         cqlu_ref[...] = dtl * wu * u_in
         cqWq_ref[...] = dtl[None] * (Wq1 + Wq2 + Wq3)
 
+        # ---- state-equation linearization fold (round-5 perf item):
+        # the Lie-corrected solved form (dynamics/state_equation.linearize,
+        # reference state_equation.cpp:69-89) needs d(q_next ⊖ q) wrt BOTH
+        # endpoints — only the 6x6 base blocks are nontrivial. One Dual
+        # pass with a 12-wide tangent axis (cols 0-5: q, cols 6-11:
+        # q_next) replaces the two full nv-tangent XLA jacfwd chains
+        # (round-4 profile: ~8.5 ms standalone at B*N = 3328).
+        from .pallas_condense import _gauss_jordan
+        qn = qnext_ref[...]                                    # (nq, T)
+        R0d, p0d = base_pose_dual(q, 0, 12)
+        R1d, p1d = base_pose_dual(qn, 6, 12)
+        Rrel_se = dmatmul3(dchain_transpose(R0d), R1d, 0)
+        prel_se = drotate_T(R0d, dsub(p1d, p0d), 0)
+        wlog_se = dso3_log(Rrel_se)
+        vlog_se = dse3_log_linear(wlog_se, prel_se)
+        nu6 = dcat([vlog_se, wlog_se], 0)                      # (6, T)
+        J0b = jax.lax.slice_in_dim(nu6.dq, 0, 6, axis=1)       # (6,6,T)
+        J1b = jax.lax.slice_in_dim(nu6.dq, 6, 12, axis=1)
+        J1binv = _gauss_jordan(J1b, 6)
+        Aqq6 = -jnp.sum(J1binv[:, :, None] * J0b[None], axis=1)
+        rbase = nu6.val - dtl * sl(v, 0, 6)                    # (6, T)
+        xres_base = -jnp.sum(J1binv * rbase[None], axis=1)
+        xres_j = (sl(q, 7, meta.nq) + dtl * sl(v, 6, nv)
+                  - sl(qn, 7, meta.nq))
+        seA_ref[...] = Aqq6
+        seJ_ref[...] = J1binv
+        sex_ref[...] = jnp.concatenate([xres_base, xres_j], axis=0)
+
 # ---------------------------------------------------------------------------
 # pallas_call wrapper + fleet-vmap entry
 # ---------------------------------------------------------------------------
 
 _OUTS = ("tau", "dtau_dq", "dtau_dv", "M", "C", "dCdq", "dCdv", "J",
          "g", "dgdq", "dgdf", "task", "dtask")
-_COST_OUTS = ("cq_cost", "cq_lq", "cq_lv", "cq_la", "cq_lu", "cq_Wq")
+_COST_OUTS = ("cq_cost", "cq_lq", "cq_lv", "cq_la", "cq_lu", "cq_Wq",
+              "se_Aqq6", "se_J1binv", "se_xres")
 
 
 def _out_names(meta: ChainMeta):
@@ -1019,7 +1052,8 @@ def _out_shapes(meta: ChainMeta):
     if meta.with_cost:
         out.update({"cq_cost": (1,), "cq_lq": (nv,), "cq_lv": (nv,),
                     "cq_la": (nv,), "cq_lu": (meta.nu,),
-                    "cq_Wq": (nv, nv)})
+                    "cq_Wq": (nv, nv), "se_Aqq6": (6, 6),
+                    "se_J1binv": (6, 6), "se_xres": (nv,)})
     return out
 
 
@@ -1058,10 +1092,12 @@ def _chain_flat(meta: ChainMeta, consts, interpret, q, v, a, f_eff,
                                 (S_pad - S, meta.nc, 3, 3))
         R_ref = jnp.concatenate([R_ref, Rpad], axis=0)
     if meta.with_cost and S_pad != S:
-        # pad the cost q_ref (index 11) with unit quaternions too
+        # pad the cost q_ref (index 11) and q_next (index 13) with unit
+        # quaternions too
         cost_ins = list(cost_ins)
         qrpad = jnp.zeros((S_pad - S, meta.nq), dt).at[:, 6].set(1.0)
         cost_ins[11] = jnp.concatenate([cost_ins[11], qrpad], axis=0)
+        cost_ins[13] = jnp.concatenate([cost_ins[13], qrpad], axis=0)
     ins = [to_lanes(x) for x in
            (q, v, a, f_eff, fric, p_ref, R_ref) + tuple(cost_ins)]
     in_specs = [_block_spec(x.shape[:-1], TILE) for x in ins]

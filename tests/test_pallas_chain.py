@@ -133,10 +133,14 @@ def test_chain_surface_matches_jacfwd(setup_surface):
                     dgdf=dgdf, task=task, dtask=dtask)
 
     ref = jax.jit(jax.vmap(ref_one))(q, v, a, f, fric, p_ref, R_ref)
+    # tolerance floor: the kernel's branch-free polynomial acos
+    # (pallas_chain._acos, |err| <= 2e-8 — Mosaic has no acos lowering)
+    # amplifies through the log-Jacobian's 1/sin^3 factors to ~1e-6 on
+    # the q-Jacobian rows; f32-exact for the runtime path
     for name in out:
         np.testing.assert_allclose(
             np.asarray(out[name]), np.asarray(ref[name]),
-            rtol=1e-6, atol=1e-7, err_msg=name)
+            rtol=1e-5, atol=1e-5, err_msg=name)
 
 
 def test_chain_cost_fold_matches_xla():
@@ -193,12 +197,67 @@ def test_chain_cost_fold_matches_xla():
     c_r, lq_r, lv_r, la_r, lu_r, Wq_r = jax.jit(jax.vmap(ref_one))(
         sol.q[:-1], sol.v[:-1], sol.a[:-1], sol.u[:-1], sol.f[:-1],
         grid.t[:-1], grid.dt)
+    # tolerance floor: the polynomial acos (see the surface test note)
+    # leaves ~1e-6 on the log-derived Gauss-Newton rows
     np.testing.assert_allclose(np.asarray(out["cq_cost"][:, 0]),
-                               np.asarray(c_r), rtol=1e-8, atol=1e-10)
+                               np.asarray(c_r), rtol=1e-6, atol=1e-8)
     for name, got, want in (("lq", out["cq_lq"], lq_r),
                             ("lv", out["cq_lv"], lv_r),
                             ("la", out["cq_la"], la_r),
                             ("lu", out["cq_lu"], lu_r),
                             ("Wq", out["cq_Wq"], Wq_r)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-7, atol=1e-8, err_msg=name)
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_chain_state_eq_fold_matches_xla():
+    """In-kernel state-equation linearization (se_* outputs) vs
+    dynamics/state_equation.linearize on random configs."""
+    import jax.numpy as jnp
+    from robotoc_tpu.mpc.mpc_trot import MPCTrot
+    from robotoc_tpu.dynamics import state_equation as se
+
+    m = load_robot("anymal")
+    mpc = MPCTrot(m, T=0.5, N=10)
+    planner = mpc.make_planner()
+    planner.set_gait_pattern(np.array([0.15, 0, 0]), 0.0)
+    mpc.set_gait_pattern(planner, swing_height=0.1, swing_time=0.25,
+                         stance_time=0.0, swing_start_time=0.5)
+    q0 = jnp.asarray([0, 0, 0.4792, 0, 0, 0, 1, -0.1, 0.7, -1.0,
+                      -0.1, -0.7, 1.0, 0.1, 0.7, -1.0, 0.1, -0.7, 1.0],
+                     m.dtype)
+    v0 = jnp.zeros(18, m.dtype)
+    mpc.planner.init(q0)
+    mpc.config_cost = mpc.config_cost.replace(q_ref=q0)
+    grid, costs = mpc._build_schedule_and_costs(0.3, q0, v0)
+    contacts = mpc.contacts
+    from robotoc_tpu.solver import ocp_solver as OS
+    sol = OS.make_initial_solution(m, contacts, mpc.limits, 1e-3, grid,
+                                   q0, v0)
+    key = jax.random.PRNGKey(9)
+    dq = 0.3 * jax.random.normal(key, (sol.q.shape[0], m.nv), m.dtype)
+    sol = sol.replace(
+        q=jax.vmap(lambda qq, d: rm.integrate(m, qq, d))(sol.q, dq),
+        v=0.4 * jax.random.normal(jax.random.PRNGKey(10), sol.v.shape,
+                                  m.dtype))
+    rowmask = jax.vmap(contacts.force_mask)(grid.contact_mask[:-1])
+    cost_ins = pch.cost_fold_inputs(m, contacts, costs, grid, sol)
+    fn = pch.get_chain(m, contacts, with_cost=True)
+    out = jax.jit(fn)(sol.q[:-1], sol.v[:-1], sol.a[:-1],
+                      sol.f[:-1] * rowmask, grid.friction[:-1],
+                      grid.p_ref[:-1], grid.R_ref[:-1], *cost_ins)
+
+    Aqq_r, Aqv_r, xres_r = jax.jit(jax.vmap(
+        lambda q, v, dt, qn: se.linearize(m, q, v, dt, qn)))(
+        sol.q[:-1], sol.v[:-1], grid.dt, sol.q[1:])
+    nv = m.nv
+    eye = jnp.eye(nv, dtype=m.dtype)
+    Aqq_k = jax.vmap(lambda b: eye.at[:6, :6].set(b))(out["se_Aqq6"])
+    Aqv_k = jax.vmap(lambda b, dt: (dt * eye).at[:6, :6].set(dt * b))(
+        out["se_J1binv"], grid.dt)
+    np.testing.assert_allclose(np.asarray(out["se_xres"]),
+                               np.asarray(xres_r), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Aqq_k), np.asarray(Aqq_r),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Aqv_k), np.asarray(Aqv_r),
+                               rtol=1e-6, atol=1e-7)

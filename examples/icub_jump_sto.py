@@ -82,8 +82,11 @@ def main():
                     for f in FEET])
     rot = np.stack([np.asarray(frame_placement(m, m.frame_id(f), Rw, pw)[0])
                     for f in FEET])
-    ground_time, flying_time = 0.5, 0.25
-    t0, T, N = 0.0, 1.25, 18
+    # reference phase budget (jump_sto.py:16-18, 113-118): generous
+    # ground phases with min dwell times well below them, so the STO can
+    # move the lift-off/touchdown freely without pinning at the bounds
+    ground_time, flying_time = 0.7, 0.25
+    t0, T, N = 0.0, 1.65, 24
     sched = ContactSchedule(nc=2, default_friction=0.6).init(
         [True] * 2, plc, rotations=rot)
     sched.push_back([False] * 2, plc, t0 + ground_time, sto=True)
@@ -92,7 +95,7 @@ def main():
                     rotations=rot)
     solver = OCPSolverSTO(
         m, contacts, (cost,), lim, sched, t0, T, N,
-        min_dwell_times=[0.3, 0.15, 0.25],
+        min_dwell_times=[0.6, 0.2, 0.6],
         options=STOSolverOptions(max_iter=120, kkt_tol=1e-6,
                                  kkt_tol_mesh=1.0, max_dt_mesh=T / N,
                                  initial_sto_reg_iter=10),

@@ -492,3 +492,130 @@ class MultiFrameTaskCost:
         w = self._w(self.foot_weight_impact, self.com_weight_impact) * act
         r = task - ref
         return 0.5 * jnp.sum(w * r * r)
+
+
+# ---------------------------------------------------------------------------
+# Discrete-time (per-contact-phase) references for offline STO problems
+# (reference discrete_time_swing_foot_ref.cpp:52-78,
+#  discrete_time_com_ref.cpp:81-101; used by the reference's
+#  examples/anymal/python/{trot_sto1,trot_sto2,bounce}.py)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class DiscreteTimeSwingFootRef:
+    """Swing-foot ref interpolating from the contact position BEFORE the
+    swing phase to the one AFTER it, with a triangular height profile of
+    apex `step_height` at mid-swing. The reference keys the interpolation
+    on (phase, stage_in_phase) from the discretization; here the phase is
+    recovered from the grid time against the baked phase boundary times —
+    identical on the phase-based STO grid, whose slot times are affine in
+    the switching times (sto/discretization.py)."""
+    bounds: jnp.ndarray       # (P+1,) phase start times + horizon end
+    pos: jnp.ndarray          # (P+1, 3) per-phase contact position (+dup)
+    swing: jnp.ndarray        # (P,) 1.0 where the contact swings
+    step_height: jnp.ndarray  # scalar
+    first_rate: float = struct.field(pytree_node=False, default=1.0)
+    last_rate: float = struct.field(pytree_node=False, default=1.0)
+
+    def __call__(self, t):
+        dtype = self.pos.dtype
+        P = self.swing.shape[0]
+        idx = jnp.clip(jnp.sum((t >= self.bounds[1:]).astype(jnp.int32)),
+                       0, P - 1)
+        lo = jnp.take(self.bounds, idx)
+        dur = jnp.maximum(jnp.take(self.bounds, idx + 1) - lo, 1e-8)
+        rate = jnp.clip((t - lo) / dur, 0.0, 1.0)
+        rate = jnp.where(idx == 0,
+                         self.first_rate * (1.0 - rate) + rate, rate)
+        rate = jnp.where(idx == P - 1,
+                         self.last_rate * (1.0 - rate) + rate, rate)
+        p_from = jnp.take(self.pos, jnp.maximum(idx - 1, 0), axis=0)
+        p_to = jnp.take(self.pos, idx + 1, axis=0)
+        ref = (1.0 - rate) * p_from + rate * p_to
+        z = jnp.where(rate < 0.5, 2.0 * rate, 2.0 * (1.0 - rate)) \
+            * self.step_height
+        ref = ref + jnp.array([0.0, 0.0, 1.0], dtype) * z
+        return ref, jnp.take(self.swing, idx).astype(dtype)
+
+
+@struct.dataclass
+class DiscreteTimeCoMRef:
+    """CoM ref per contact phase: the average of the active contacts'
+    implied CoM positions (placement_i - com_to_contact_i), interpolated
+    across phases that have swinging contacts and held constant during
+    full stance (reference discrete_time_com_ref.cpp:81-101)."""
+    bounds: jnp.ndarray        # (P+1,)
+    com: jnp.ndarray           # (P+1, 3) per-phase CoM anchors (+dup)
+    has_inactive: jnp.ndarray  # (P,) 1.0 where some contact swings
+    first_rate: float = struct.field(pytree_node=False, default=1.0)
+    last_rate: float = struct.field(pytree_node=False, default=1.0)
+
+    def __call__(self, t):
+        dtype = self.com.dtype
+        P = self.has_inactive.shape[0]
+        idx = jnp.clip(jnp.sum((t >= self.bounds[1:]).astype(jnp.int32)),
+                       0, P - 1)
+        lo = jnp.take(self.bounds, idx)
+        dur = jnp.maximum(jnp.take(self.bounds, idx + 1) - lo, 1e-8)
+        rate = jnp.clip((t - lo) / dur, 0.0, 1.0)
+        rate = jnp.where(idx == 0,
+                         self.first_rate * (1.0 - rate) + rate, rate)
+        rate = jnp.where(idx == P - 1,
+                         self.last_rate * (1.0 - rate) + rate, rate)
+        c_here = jnp.take(self.com, idx, axis=0)
+        c_next = jnp.take(self.com, idx + 1, axis=0)
+        moving = jnp.take(self.has_inactive, idx)
+        ref = jnp.where(moving > 0,
+                        (1.0 - rate) * c_here + rate * c_next, c_here)
+        return ref, jnp.asarray(1.0, dtype)
+
+
+def make_discrete_time_swing_refs(schedule, t_end, step_height, dtype):
+    """Bake one DiscreteTimeSwingFootRef per contact from a
+    ContactSchedule (the reference's setSwingFootRef(contact_sequence),
+    discrete_time_swing_foot_ref.cpp:22-35)."""
+    import numpy as np
+    bounds = np.array([ph.start_time for ph in schedule.phases]
+                      + [float(t_end)])
+    refs = []
+    for i in range(schedule.nc):
+        pos = np.array([ph.placements[i] for ph in schedule.phases])
+        pos = np.vstack([pos, pos[-1:]])
+        swing = np.array([0.0 if ph.active[i] else 1.0
+                          for ph in schedule.phases])
+        refs.append(DiscreteTimeSwingFootRef(
+            bounds=jnp.asarray(bounds, dtype),
+            pos=jnp.asarray(pos, dtype),
+            swing=jnp.asarray(swing, dtype),
+            step_height=jnp.asarray(step_height, dtype)))
+    return refs
+
+
+def make_discrete_time_com_ref(schedule, t_end, com_to_contact, dtype):
+    """Bake a DiscreteTimeCoMRef from a ContactSchedule: per-phase CoM
+    anchor = mean over active contacts of (placement - com_to_contact),
+    with the reference's flying-phase midpoint smoothing
+    (discrete_time_com_ref.cpp:23-52)."""
+    import numpy as np
+    bounds = np.array([ph.start_time for ph in schedule.phases]
+                      + [float(t_end)])
+    com_to_contact = np.asarray(com_to_contact, float)
+    coms, has_inactive = [], []
+    prev_had_active = True
+    for p, ph in enumerate(schedule.phases):
+        act = np.asarray(ph.active, bool)
+        n_act = int(act.sum())
+        if n_act > 0:
+            c = (ph.placements[act] - com_to_contact[act]).mean(axis=0)
+        else:
+            c = np.zeros(3)
+        coms.append(c)
+        has_inactive.append(1.0 if n_act < schedule.nc else 0.0)
+        if not prev_had_active and p > 1:
+            coms[p - 1] = 0.5 * (coms[p - 2] + coms[p])
+        prev_had_active = n_act > 0
+    coms.append(coms[-1])
+    return DiscreteTimeCoMRef(
+        bounds=jnp.asarray(bounds, dtype),
+        com=jnp.asarray(np.array(coms), dtype),
+        has_inactive=jnp.asarray(np.array(has_inactive), dtype))

@@ -3,10 +3,16 @@ the humanoid hot path must ride the Pallas kernels and have a measured
 number). Reference config: examples/icub/mpc/walk.py:28-41 (T=0.7, N=25,
 surface contacts + contact wrench cones).
 
+The fleet iterate is warmed the way the MPC layer actually runs: init
+to convergence at standing double support, then MPC updates to mid-gait
+(single-support, one foot mid-swing) — a cold standing iterate does not
+converge on the mid-gait humanoid problem (the single-sole wrench cone
+is statically infeasible for the between-feet CoM, so full Newton steps
+from far away cycle; the closed-loop warm start is the product path).
+
 Usage: python tools/bench_icub_walk.py [--batch 128] [--reps 10]
 """
 import argparse
-import functools
 import os
 import sys
 import time
@@ -17,7 +23,8 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--batch", type=int, default=128)
 parser.add_argument("--reps", type=int, default=10)
 parser.add_argument("--cpu", action="store_true")
-parser.add_argument("--no-pallas", action="store_true")
+parser.add_argument("--t-target", type=float, default=0.62,
+                    help="mid-gait time at which the fleet is benched")
 args = parser.parse_args()
 
 import jax
@@ -61,16 +68,29 @@ def main():
     q0[2] = -0.5 * (zs[0] + zs[1])
     q0 = jnp.asarray(q0, dtype)
     v0 = jnp.zeros(m.nv, dtype)
-    mpc.planner.init(q0)
-    mpc.config_cost = mpc.config_cost.replace(q_ref=q0)
-    grid, costs = mpc._build_schedule_and_costs(0.6, q0, v0)
     print("chain_supported:", pch.chain_supported(m, mpc.contacts),
-          " cost_fold:", pch.cost_fold_supported(m, costs, mpc.contacts))
-    solver = OS.OCPSolver(m, mpc.contacts, costs, mpc.limits, T=T, N=N,
-                          n_reserved_events=mpc.n_reserved)
-    sol0 = solver.init_solution(grid, q0, v0)
-    on_tpu = (jax.default_backend() not in ("cpu",)
-              and not args.no_pallas)
+          flush=True)
+
+    # --- warm the iterate the way the product runs -------------------
+    t0 = time.perf_counter()
+    kkt0 = mpc.init(0.0, q0, v0, num_iters=40)
+    print(f"init kkt {kkt0:.3e} ({time.perf_counter() - t0:.1f}s)",
+          flush=True)
+    control_dt = 0.01
+    t, q, v = 0.0, q0, v0
+    t0 = time.perf_counter()
+    while t < args.t_target - 1e-9:
+        kkt = mpc.update_solution(t, control_dt, q, v, max_iter=2)
+        q = rm.integrate(m, q, control_dt * mpc.sol.v[0])
+        v = mpc.sol.v[0] + control_dt * mpc.sol.a[0]
+        t += control_dt
+    print(f"warmed to t={t:.2f}, kkt {kkt:.3e} "
+          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    grid, costs = mpc.grid, mpc._costs
+    sol_w = mpc.sol
+    solver = mpc._solver
+    on_tpu = jax.default_backend() not in ("cpu",)
 
     def mpc_update(sol, qq, vv):
         def it(s, _):
@@ -83,33 +103,21 @@ def main():
         sol, kkts = jax.lax.scan(it, sol, None, length=2)
         return sol, kkts[-1]
 
-    # globalized warmup (the MPC classes run init() to convergence before
-    # the 2-it cadence; raw full steps from the cold standing iterate
-    # diverge on the walk problem in f32 — XLA and Pallas paths alike)
-    def warm_update(sol, qq, vv):
-        s, kkt, _, _ = OS._update(
-            m, mpc.contacts, mpc.limits, 1e-3, 0.995, mpc.n_reserved,
-            costs, sol, grid, qq, vv, enable_ls="kkt", enable_sw=True,
-            use_pallas=on_tpu, use_chain=on_tpu)
-        return s, kkt
-
-    warm = jax.jit(jax.vmap(warm_update))
-
     for B in (1, args.batch):
         sols = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
-                            sol0)
+                            sol_w)
         dq = 0.02 * jax.random.normal(jax.random.PRNGKey(0), (B, m.nv),
                                       dtype)
-        q0s = jax.vmap(lambda d: rm.integrate(m, q0, d))(dq)
-        v0s = jnp.zeros((B, m.nv), dtype)
+        q0s = jax.vmap(lambda d: rm.integrate(m, q, d))(dq)
+        v0s = jnp.broadcast_to(v, (B, m.nv)).astype(dtype)
         step = jax.jit(jax.vmap(mpc_update))
         t0 = time.perf_counter()
-        for _ in range(25):
-            sols, kkt_w = warm(sols, q0s, v0s)
         sols_w, kkt = step(sols, q0s, v0s)
+        for _ in range(4):   # settle the perturbed fleet
+            sols_w, kkt = step(sols_w, q0s, v0s)
         jax.block_until_ready(kkt)
-        print(f"B={B}: compile+warmup {time.perf_counter() - t0:.1f}s, "
-              f"warm kkt {float(jnp.max(kkt_w)):.3e}", flush=True)
+        print(f"B={B}: compile+settle {time.perf_counter() - t0:.1f}s, "
+              f"fleet max kkt {float(jnp.max(kkt)):.3e}", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.reps):
             sols_w, kkt = step(sols_w, q0s, v0s)

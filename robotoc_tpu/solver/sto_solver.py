@@ -73,7 +73,8 @@ class OCPSolverSTO:
                  schedule: ContactSchedule, t0: float, T: float, N: int,
                  sto_costs=(), min_dwell_times=None,
                  options: STOSolverOptions = STOSolverOptions(),
-                 switching_constraints: bool = True):
+                 switching_constraints: bool = True,
+                 cost_update_fn=None):
         """switching_constraints: impose the pure-state touchdown
         constraint on every impact-bearing horizon, as the reference does
         unconditionally (reference time_discretization.cpp:138-142,
@@ -89,6 +90,16 @@ class OCPSolverSTO:
         self.model, self.contacts = model, contacts
         self.costs = tuple(costs) if isinstance(costs, (tuple, list)) \
             else (costs,)
+        self.cost_update_fn = cost_update_fn
+        """Optional ts -> costs hook re-evaluated before every STO
+        iteration (and for the final KKT). Phase-indexed references
+        (DiscreteTimeSwingFootRef / DiscreteTimeCoMRef) must follow the
+        moving phase boundaries the way the reference's grid-info-keyed
+        refs do (discrete_time_swing_foot_ref.cpp:52-78) — refs baked at
+        the nominal times fight the dts step with their full task weight
+        and the Gauss-Newton iteration cycles. The hook must return a
+        pytree with the SAME structure each call (values may change
+        freely; the jitted update retraces nothing)."""
         self.sto_costs = tuple(sto_costs)
         self.limits = limits
         self.options = options
@@ -147,8 +158,10 @@ class OCPSolverSTO:
             # its INPUT iterate (same single-build pattern as the Riccati
             # solve loop); convergence triggers one step late, which only
             # tightens the returned solution.
+            costs = self.costs if self.cost_update_fn is None \
+                else self.cost_update_fn(np.asarray(ts))
             sol, ts, st, kkt_in, alpha = self._upd(
-                self.costs, self.sto_costs, sol, ts, st, q_init, v_init,
+                costs, self.sto_costs, sol, ts, st, q_init, v_init,
                 jnp.asarray(reg, dtype))
             kkt = float(kkt_in)
             stats["ts_history"].append(np.asarray(ts))
@@ -181,7 +194,9 @@ class OCPSolverSTO:
             inner += 1
         # report the FINAL iterate's KKT error (the loop measure is the
         # input-iterate one from the single-build update)
-        kkt_final = float(self._kkt(self.costs, self.sto_costs, sol, ts,
+        costs = self.costs if self.cost_update_fn is None \
+            else self.cost_update_fn(np.asarray(ts))
+        kkt_final = float(self._kkt(costs, self.sto_costs, sol, ts,
                                     st, q_init, v_init))
         stats["kkt_error"] = kkt_final
         if kkt_final < o.kkt_tol:

@@ -25,6 +25,12 @@ parser.add_argument("--reps", type=int, default=10)
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--t-target", type=float, default=0.62,
                     help="mid-gait time at which the fleet is benched")
+parser.add_argument("--ls", action="store_true",
+                    help="globalized updates (KKT backtracking) in the "
+                         "timed step — in f32 the raw 2-it Newton cadence "
+                         "does not contract on the mid-swing humanoid "
+                         "problem (measured round-5); this is the "
+                         "recommended humanoid MPC configuration")
 args = parser.parse_args()
 
 import jax
@@ -76,7 +82,7 @@ def main():
     kkt0 = mpc.init(0.0, q0, v0, num_iters=40)
     print(f"init kkt {kkt0:.3e} ({time.perf_counter() - t0:.1f}s)",
           flush=True)
-    control_dt = 0.01
+    control_dt = 0.005
     t, q, v = 0.0, q0, v0
     t0 = time.perf_counter()
     while t < args.t_target - 1e-9:
@@ -92,11 +98,13 @@ def main():
     solver = mpc._solver
     on_tpu = jax.default_backend() not in ("cpu",)
 
+    ls = "kkt" if args.ls else False
+
     def mpc_update(sol, qq, vv):
         def it(s, _):
             s, kkt, _, _ = OS._update(
                 m, mpc.contacts, mpc.limits, 1e-3, 0.995, mpc.n_reserved,
-                costs, s, grid, qq, vv, enable_sw=True,
+                costs, s, grid, qq, vv, enable_sw=True, enable_ls=ls,
                 use_pallas=on_tpu, use_chain=on_tpu)
             return s, kkt
 
@@ -106,14 +114,14 @@ def main():
     for B in (1, args.batch):
         sols = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
                             sol_w)
-        dq = 0.02 * jax.random.normal(jax.random.PRNGKey(0), (B, m.nv),
+        dq = 0.0075 * jax.random.normal(jax.random.PRNGKey(0), (B, m.nv),
                                       dtype)
         q0s = jax.vmap(lambda d: rm.integrate(m, q, d))(dq)
         v0s = jnp.broadcast_to(v, (B, m.nv)).astype(dtype)
         step = jax.jit(jax.vmap(mpc_update))
         t0 = time.perf_counter()
         sols_w, kkt = step(sols, q0s, v0s)
-        for _ in range(4):   # settle the perturbed fleet
+        for _ in range(12):  # settle the perturbed fleet
             sols_w, kkt = step(sols_w, q0s, v0s)
         jax.block_until_ready(kkt)
         print(f"B={B}: compile+settle {time.perf_counter() - t0:.1f}s, "

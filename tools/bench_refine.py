@@ -79,8 +79,19 @@ def run(name, m, contacts, costs, lim, q0, grid, T, N, n_reserved=0):
                        n_reserved_events=n_reserved)
     v0 = jnp.zeros(m.nv, dtype)
     sol0 = solver.init_solution(grid, q0, v0)
-    # warm both jits
-    sol32, st = solver.solve(grid, q0, v0, sol=sol0)
+    # warm both jits (if the Pallas path rejects an x64-promoted input,
+    # fall back to the XLA path for the f32 phase — the refinement cost
+    # is the number under test)
+    try:
+        sol32, st = solver.solve(grid, q0, v0, sol=sol0)
+    except Exception as e:  # noqa: BLE001
+        print(f"# f32 Pallas phase failed under x64 ({type(e).__name__});"
+              " falling back to the XLA path", flush=True)
+        solver = OCPSolver(m, contacts, costs, lim, T=T, N=N,
+                           options=SolverOptions(max_iter=30, kkt_tol=1e-5,
+                                                 use_pallas=False),
+                           n_reserved_events=n_reserved)
+        sol32, st = solver.solve(grid, q0, v0, sol=sol0)
     ref = SolutionRefiner(solver, max_iter=6, kkt_tol=1e-9)
     sol64, st64 = ref.refine(sol32, grid, q0, v0)
     jax.block_until_ready(sol64.q)

@@ -44,7 +44,7 @@ FEET = ["LF_FOOT", "LH_FOOT", "RF_FOOT", "RH_FOOT"]
 LF, LH, RF, RH = 0, 1, 2, 3
 
 
-def main(cycles=3, max_iter=60, html=True):
+def main(cycles=3, max_iter=60, html=True, freeze=False):
     m = load_robot("anymal")
     dtype = m.dtype
     contacts = make_contacts(m, FEET, baumgarte_time_step=0.05)
@@ -115,8 +115,11 @@ def main(cycles=3, max_iter=60, html=True):
     base_com_ref = make_discrete_time_com_ref(sched, T, plc - com0, dtype)
 
     def costs_for_ts(ts):
-        bounds = jnp.asarray(
-            np.concatenate([[0.0], np.asarray(ts, float), [T]]), dtype)
+        # jax-traceable: evaluated on the traced ts inside the STO
+        # linearization (solver/sto_solver.py cost_update_fn)
+        bounds = jnp.concatenate(
+            [jnp.zeros(1, dtype), jnp.asarray(ts, dtype),
+             jnp.full((1,), T, dtype)])
         frs = jax.tree.map(lambda *x: jnp.stack(x),
                            *[r.replace(bounds=bounds)
                              for r in base_foot_refs])
@@ -160,9 +163,36 @@ def main(cycles=3, max_iter=60, html=True):
     ts_nominal = np.array(
         [ph.start_time for ph in sched.phases[1:]])
     t_start = time.time()
-    sol, ts, stats = solver.solve(q0, v0, verbose=True)
-    print(f"converged={stats['convergence']} iters={stats['iterations']} "
+    # phase 0: converge the TRAJECTORY at the nominal switching times
+    # with the KKT-backtracking line search (the cold multi-event gait
+    # start stalls the STO update's merit backtracking at alpha -> 0;
+    # the same recipe converges examples/anymal_bounce.py)
+    import functools
+
+    from robotoc_tpu.solver import ocp_solver as OS
+    grid0 = solver.disc.grid(jnp.asarray(ts0, dtype))
+    sol = solver.init_solution(q0, v0)
+    upd0 = jax.jit(functools.partial(
+        OS._update, m, contacts, lim, 1e-3, 0.995,
+        solver.disc.n_impact_slots, enable_ls="kkt"))
+    costs0 = costs_for_ts(ts0)
+    kkt_tr = None
+    for k in range(220):
+        sol, kkt_tr, _, _ = upd0(costs0, sol, grid0, q0, v0)
+    print(f"trajectory warmup: kkt {float(kkt_tr):.3e}")
+
+    sol, ts, stats = solver.solve(q0, v0, sol=sol, verbose=True,
+                                  freeze_ts=freeze)
+    print(f"STO phase: iters={stats['iterations']} "
           f"kkt={stats['kkt_error']:.3e} "
+          f"ts={np.round(np.asarray(ts), 4)}")
+    # polish the trajectory at the optimized switching times (frozen ts):
+    # with 4 coupled events the trust-region STO phase locates the times
+    # to ~5 ms but each of its iterations takes only ONE Newton step on
+    # the trajectory, which therefore lags the moving grid
+    sol, ts, stats = solver.solve(q0, v0, sol=sol, ts=ts, freeze_ts=True)
+    print(f"polish:    converged={stats['convergence']} "
+          f"iters={stats['iterations']} kkt={stats['kkt_error']:.3e} "
           f"mesh_refinements={stats['mesh_refinements']}")
     print("optimized switching times:", np.round(np.asarray(ts), 4))
     print("nominal switching times:  ", np.round(ts_nominal, 4))
@@ -183,5 +213,9 @@ if __name__ == "__main__":
     p.add_argument("--cycles", type=int, default=3)
     p.add_argument("--max-iter", type=int, default=60)
     p.add_argument("--no-html", action="store_true")
+    p.add_argument("--freeze", action="store_true",
+                   help="keep the switching times at their nominal "
+                        "values (trajectory-only solve)")
     a = p.parse_args()
-    main(cycles=a.cycles, max_iter=a.max_iter, html=not a.no_html)
+    main(cycles=a.cycles, max_iter=a.max_iter, html=not a.no_html,
+         freeze=a.freeze)

@@ -20,7 +20,13 @@ Offline trajectory-optimization / STO use (reference max_iter=200,
 kkt_tol=1e-7) therefore no longer requires leaving the TPU.
 
 Requires jax_enable_x64 (process-global); the MPC fast path never
-imports this module, so the flagship bench keeps x64 off.
+imports this module, so the flagship bench keeps x64 off. Caveat: with
+x64 enabled, the f32 Pallas solve path can fail to compile on TPU (weak
+scalars promote to f64 and Mosaic has no f64) — run the f32 phase
+through the XLA path in refinement processes (SolverOptions
+use_pallas=False; tools/bench_refine.py falls back automatically), or
+keep the f32 production solve in a separate x64-off process and ship
+the iterate to the refinement process.
 """
 from __future__ import annotations
 

@@ -91,15 +91,17 @@ class OCPSolverSTO:
         self.costs = tuple(costs) if isinstance(costs, (tuple, list)) \
             else (costs,)
         self.cost_update_fn = cost_update_fn
-        """Optional ts -> costs hook re-evaluated before every STO
-        iteration (and for the final KKT). Phase-indexed references
+        """Optional JAX-TRACEABLE ts -> costs hook evaluated INSIDE the
+        STO linearization. Phase-indexed references
         (DiscreteTimeSwingFootRef / DiscreteTimeCoMRef) must follow the
         moving phase boundaries the way the reference's grid-info-keyed
         refs do (discrete_time_swing_foot_ref.cpp:52-78) — refs baked at
-        the nominal times fight the dts step with their full task weight
-        and the Gauss-Newton iteration cycles. The hook must return a
-        pytree with the SAME structure each call (values may change
-        freely; the jitted update retraces nothing)."""
+        fixed times fight the dts step with their full task weight and
+        the Gauss-Newton iteration cycles; evaluating the hook on the
+        traced ts makes the dts direction see the exact d(cost)/d(ts)
+        including the reference motion. Must be pure jnp ops (no
+        np.asarray / float on ts) returning the SAME pytree structure
+        each call."""
         self.sto_costs = tuple(sto_costs)
         self.limits = limits
         self.options = options
@@ -122,10 +124,12 @@ class OCPSolverSTO:
         self._upd = jax.jit(functools.partial(
             _sto_update, self.model, self.contacts, self.limits,
             o.barrier, o.fraction_to_boundary_rule, disc, self.dwell_con,
-            o.max_dts, enable_sw=sw))
+            o.max_dts, enable_sw=sw,
+            cost_update_fn=self.cost_update_fn))
         self._kkt = jax.jit(functools.partial(
             _sto_kkt_error, self.model, self.contacts, self.limits,
-            o.barrier, disc, self.dwell_con, enable_sw=sw))
+            o.barrier, disc, self.dwell_con, enable_sw=sw,
+            cost_update_fn=self.cost_update_fn))
 
     def init_solution(self, q, v, ts=None,
                       f_init: Optional[jnp.ndarray] = None):
@@ -135,13 +139,21 @@ class OCPSolverSTO:
                                         self.limits, self.options.barrier,
                                         grid, q, v, f_init)
 
-    def solve(self, q_init, v_init, sol=None, verbose=False):
+    def solve(self, q_init, v_init, sol=None, verbose=False, ts=None,
+              freeze_ts=False):
         """Full solve with STO regularization schedule + mesh refinement.
-        Returns (sol, ts, stats dict)."""
+        Returns (sol, ts, stats dict).
+
+        ts: warm-start switching times (default: the schedule's nominal
+        times). freeze_ts: keep the switching times fixed (the STO
+        regularization stays at initial_sto_reg for every iteration) —
+        used to polish the TRAJECTORY at already-optimized times, e.g.
+        after a trust-region STO phase on many coupled events
+        (examples/anymal_trot_sto.py)."""
         o = self.options
         disc = self.disc
         dtype = self.model.dtype
-        ts = jnp.asarray(disc.ts0, dtype)
+        ts = jnp.asarray(disc.ts0 if ts is None else ts, dtype)
         q_init = jnp.asarray(q_init, dtype)
         v_init = jnp.asarray(v_init, dtype)
         if sol is None:
@@ -152,16 +164,14 @@ class OCPSolverSTO:
                      ts_history=[np.asarray(ts)], mesh_refinements=0)
         inner = 0
         for it in range(o.max_iter):
-            reg = o.initial_sto_reg if inner < o.initial_sto_reg_iter \
-                else 0.0
+            reg = o.initial_sto_reg \
+                if (inner < o.initial_sto_reg_iter or freeze_ts) else 0.0
             # ONE build per iteration: the update returns the KKT error of
             # its INPUT iterate (same single-build pattern as the Riccati
             # solve loop); convergence triggers one step late, which only
             # tightens the returned solution.
-            costs = self.costs if self.cost_update_fn is None \
-                else self.cost_update_fn(np.asarray(ts))
             sol, ts, st, kkt_in, alpha = self._upd(
-                costs, self.sto_costs, sol, ts, st, q_init, v_init,
+                self.costs, self.sto_costs, sol, ts, st, q_init, v_init,
                 jnp.asarray(reg, dtype))
             kkt = float(kkt_in)
             stats["ts_history"].append(np.asarray(ts))
@@ -194,9 +204,7 @@ class OCPSolverSTO:
             inner += 1
         # report the FINAL iterate's KKT error (the loop measure is the
         # input-iterate one from the single-build update)
-        costs = self.costs if self.cost_update_fn is None \
-            else self.cost_update_fn(np.asarray(ts))
-        kkt_final = float(self._kkt(costs, self.sto_costs, sol, ts,
+        kkt_final = float(self._kkt(self.costs, self.sto_costs, sol, ts,
                                     st, q_init, v_init))
         stats["kkt_error"] = kkt_final
         if kkt_final < o.kkt_tol:
@@ -207,7 +215,8 @@ class OCPSolverSTO:
 # ---------------------------------------------------------------------------
 
 def _linearized_build(model, contacts, limits, barrier, disc, costs, sol,
-                      q_init, v_init, ts, enable_sw=False):
+                      q_init, v_init, ts, enable_sw=False,
+                      cost_update_fn=None):
     """Primal build + tangent columns of (xres, lx, lu, [Pc,] Lagrangian)
     wrt the switching times: one traced primal, E cheap tangent replays.
     With enable_sw the switching-constraint residual rows Pc and the
@@ -218,8 +227,14 @@ def _linearized_build(model, contacts, limits, barrier, disc, costs, sol,
 
     def fbuild(ts_):
         grid = disc.grid(ts_)
+        # phase-indexed references follow the moving boundaries INSIDE
+        # the linearization, so the dts direction sees the exact
+        # d(cost)/d(ts) including the reference motion — without it the
+        # dts Hessian underestimates the curvature of strongly-weighted
+        # tracking costs and the Gauss-Newton step overshoots/cycles
+        costs_ = costs if cost_update_fn is None else cost_update_fn(ts_)
         data, blocks, dx0, kkt_sq, total_cost, sw_aux = OS._build(
-            model, contacts, limits, barrier, n_imp, costs, sol,
+            model, contacts, limits, barrier, n_imp, costs_, sol,
             grid, q_init, v_init, enable_sw=enable_sw)
         lam = jnp.concatenate([sol.lmd[1:], sol.gmm[1:]], axis=1)
         scalar = total_cost + jnp.sum(lam * data.xres) \
@@ -245,7 +260,8 @@ def _linearized_build(model, contacts, limits, barrier, disc, costs, sol,
 def _sto_update(model, contacts, limits, barrier, ftb,
                 disc: PhaseDiscretization, dwell_con, max_dts,
                 costs, sto_costs, sol, ts, st: dwell.DwellState,
-                q_init, v_init, sto_reg, enable_sw=False):
+                q_init, v_init, sto_reg, enable_sw=False,
+                cost_update_fn=None):
     """One coupled Newton update on (solution, switching times)."""
     dtype = sol.q.dtype
     E = disc.E
@@ -253,7 +269,8 @@ def _sto_update(model, contacts, limits, barrier, ftb,
 
     (data, blocks, dx0, kkt_sq), S_xres, S_lx, S_lu, S_Pc, lt_dyn = \
         _linearized_build(model, contacts, limits, barrier, disc, costs,
-                          sol, q_init, v_init, ts, enable_sw=enable_sw)
+                          sol, q_init, v_init, ts, enable_sw=enable_sw,
+                          cost_update_fn=cost_update_fn)
 
     # ---- base Riccati solve + E cross-derivative columns ----------------
     policy = lqr.backward(data)
@@ -322,8 +339,9 @@ def _sto_update(model, contacts, limits, barrier, ftb,
 
     # solution Newton step at the moved grid, with the KKT-residual
     # backtracking (globally monotone on the OCP rows at fixed ts_new)
+    costs_new = costs if cost_update_fn is None else cost_update_fn(ts_new)
     new_sol, _, a_p, _ = OS._update(model, contacts, limits, barrier, ftb,
-                                    disc.n_impact_slots, costs, sol,
+                                    disc.n_impact_slots, costs_new, sol,
                                     disc.grid(ts_new),
                                     q_init, v_init, enable_ls="kkt",
                                     enable_sw=enable_sw)
@@ -337,7 +355,7 @@ def _sto_update(model, contacts, limits, barrier, ftb,
 def _sto_kkt_error(model, contacts, limits, barrier,
                    disc: PhaseDiscretization, dwell_con,
                    costs, sto_costs, sol, ts, st, q_init, v_init,
-                   enable_sw=False):
+                   enable_sw=False, cost_update_fn=None):
     """KKT error including switching-time stationarity (the reference's
     Hamiltonian-continuity terms, switching_time_optimization.cpp:120-136)
     and dwell-time PDIPM residuals."""
@@ -345,8 +363,9 @@ def _sto_kkt_error(model, contacts, limits, barrier,
 
     def scalar_fn(ts_):
         grid = disc.grid(ts_)
+        costs_ = costs if cost_update_fn is None else cost_update_fn(ts_)
         data, _, _, kkt_sq, total_cost, sw_aux = OS._build(
-            model, contacts, limits, barrier, disc.n_impact_slots, costs,
+            model, contacts, limits, barrier, disc.n_impact_slots, costs_,
             sol, grid, q_init, v_init, enable_sw=enable_sw)
         lam = jnp.concatenate([sol.lmd[1:], sol.gmm[1:]], axis=1)
         return (total_cost + jnp.sum(lam * data.xres)

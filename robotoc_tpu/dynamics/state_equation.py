@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models import robot as rm
-from ..ops.linalg import gauss_jordan_inverse
+from ..ops.linalg import pivoted_gauss_jordan_inverse
 
 
 def linearize(model, q, v, dt, q_next):
@@ -37,11 +37,14 @@ def linearize(model, q, v, dt, q_next):
     J1 = rm.d_difference_dq1(model, q, q_next)
     # Only the 6x6 base blocks are non-trivial.
     J1b = J1[:6, :6]
-    # unrolled GJ instead of jnp.linalg.solve: J1b = I + O(dq) between
-    # adjacent grid configurations (leading minors nonsingular), XLA
-    # lowers tiny LU to sequential dynamic-slice loops, and TPU has no
-    # f64 LuDecomposition at all (the f64 refinement path needs this)
-    J1b_inv = gauss_jordan_inverse(J1b)
+    # unrolled PIVOTED GJ instead of jnp.linalg.solve: TPU has no f64
+    # LuDecomposition (the refinement path needs this) and XLA lowers
+    # tiny LU poorly. Partial pivoting is required — J1b = I + O(dq)
+    # only near the solution; divergent intermediate iterates reach
+    # far-apart (q, q_next) where unpivoted elimination breaks down
+    # (measured: the unpivoted version sent one dryrun fleet scenario
+    # from kkt 3e-4 to 3e+2)
+    J1b_inv = pivoted_gauss_jordan_inverse(J1b)
     Cinv = eye.at[:6, :6].set(J1b_inv)     # J1^{-1} (block-diagonal)
     Aqq = -Cinv @ J0
     Aqv = dt * Cinv

@@ -49,3 +49,24 @@ def spd_solve(A, rhs):
     if rhs.ndim == A.ndim - 1:
         return (Ai @ rhs[..., None])[..., 0]
     return Ai @ rhs
+
+
+def pivoted_gauss_jordan_inverse(A):
+    """Inverse of a small (n, n) matrix by unrolled Gauss-Jordan WITH
+    partial pivoting (dynamic row gathers; jit/vmap-safe — batch via
+    vmap). Use where leading principal minors can be ill-conditioned,
+    e.g. the SE(3) difference Jacobian base block at far-apart
+    configurations reached by divergent intermediate Newton iterates
+    (dynamics/state_equation.py). Replaces jnp.linalg.solve there: XLA's
+    LuDecomposition has no f64 TPU lowering (breaks the on-chip
+    refinement path) and unrolls poorly for tiny sizes."""
+    n = A.shape[-1]
+    Aug = jnp.concatenate([A, jnp.eye(n, dtype=A.dtype)], axis=-1)
+    for k in range(n):
+        p = jnp.argmax(jnp.abs(Aug[k:, k])) + k
+        rk, rp = Aug[k], Aug[p]
+        Aug = Aug.at[k].set(rp).at[p].set(rk)
+        row = Aug[k] / Aug[k, k]
+        Aug = Aug - Aug[:, k:k + 1] * row[None, :]
+        Aug = Aug.at[k].set(row)
+    return Aug[:, n:]
